@@ -8,11 +8,18 @@ import os
 import sys
 from pathlib import Path
 
-# Must run before any jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before any jax import anywhere in the test session.  The ambient
+# environment may pin JAX_PLATFORMS to a TPU platform — tests always run on
+# the virtual multi-device CPU backend, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The ambient axon/TPU platform wrapper ignores JAX_PLATFORMS; pin via config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
