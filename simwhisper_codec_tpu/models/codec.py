@@ -1,0 +1,319 @@
+"""The full codec: orchestration, jitted tokenize/detokenize, chunked streaming.
+
+Reference: ``audiocodec/model.py`` — AudioCodec (:15-396) with
+``inference_tokenize`` (:167-210), ``inference_detokenize`` (:212-242),
+chunked ``encode`` (:244-308) / ``decode`` (:310-373), training ``forward``
+(:112-165), ``load_from_checkpoint`` (:375-396).
+
+TPU-first design
+----------------
+The reference round-trips waveforms device->CPU->device for the mel frontend
+(model.py:180-187) and Python-loops over batches (model.py:293-295, 358-360).
+Here each of tokenize/detokenize is ONE fixed-shape jitted program:
+
+    wav (B, 480000) ──mel──encoder──downsample──FSQ──> codes (8, B, 375)
+    codes (8, B, 375) ──FSQ⁻¹──upsample──decoder──Vocos──> wav (B, 480000)
+
+Chunked streaming encode/decode keeps the reference's exact chunk arithmetic
+(stride = 30 s - overlap, per-chunk valid-region extraction, final
+``length // 1280`` trim) as a host loop around the two jitted calls.  Short
+final chunks reuse the same compiled program: the chunk width is passed as a
+*traced* "virtual edge" scalar that reproduces the reference's shorter-array
+conv/ISTFT boundary behavior exactly (see ops/stft.py, models/vocos.py).
+Batches are padded to a fixed batch size so each program compiles once.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simwhisper_codec_tpu.config import CodecConfig, load_config
+from simwhisper_codec_tpu.models import sampling, transformer, vocos
+from simwhisper_codec_tpu.ops import fsq, mel
+from simwhisper_codec_tpu.ops.snake import make_alias_free_constants
+
+logger = logging.getLogger(__name__)
+
+
+class CodecConstants:
+    """Host-precomputed constant buffers (filters, DFT bases, FSQ levels)."""
+
+    def __init__(self, cfg: CodecConfig):
+        self.mel = mel.make_constants(cfg.feature_extractor)
+        self.af = make_alias_free_constants()
+        self.fsq = fsq.make_constants(cfg.quantizer)
+        self.vocos = vocos.make_constants(cfg.vocos)
+
+
+def tokenize(
+    cfg: CodecConfig,
+    consts: CodecConstants,
+    params: dict,
+    wav: jnp.ndarray,
+    sample_lengths: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Dict[str, jnp.ndarray]:
+    """wav (B, chunk_samples) + lengths -> codes. Mirrors inference_tokenize.
+
+    Returns {"zq": (B, Tc, D), "codes": (G, B, Tc) int32, "codes_lengths": (B,)}.
+    """
+    feats = mel.log_mel(consts.mel, wav, precision=precision)  # (B, T_mel, 80)
+    mel_lens = mel.mel_lengths(sample_lengths, consts.mel.hop, consts.mel.n_frames)
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    feats = feats.astype(dtype)
+
+    enc, enc_len = transformer.encoder_forward(
+        cfg.acoustic_encoder, params["encoder"], feats, mel_lens, precision=precision
+    )
+    z, z_len = sampling.frame_stack_down(cfg.downsample, consts.af, params["downsample"], enc, enc_len)
+    zq, codes = fsq.group_fsq_forward(consts.fsq, z.astype(jnp.float32), z_len)
+    return {"zq": zq, "codes": codes, "codes_lengths": z_len}
+
+
+def detokenize(
+    cfg: CodecConfig,
+    consts: CodecConstants,
+    params: dict,
+    codes: jnp.ndarray,
+    code_lengths: jnp.ndarray,
+    code_frame_valid: Optional[jnp.ndarray] = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Dict[str, jnp.ndarray]:
+    """codes (G, B, Tc) -> waveform. Mirrors inference_detokenize.
+
+    ``code_frame_valid``: traced scalar — the chunk width the reference would
+    have processed (<= Tc). Drives the virtual right edge through the decoder
+    deconvs / Vocos convs / ISTFT envelope.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    zq = fsq.group_fsq_decode(consts.fsq, codes, code_lengths).astype(dtype)  # (B, Tc, D)
+    up, up_len = sampling.frame_stack_up(cfg.upsample, consts.af, params["upsample"], zq, code_lengths)
+    dec, dec_len = transformer.decoder_forward(
+        cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision
+    )
+    frame_valid = None
+    if code_frame_valid is not None:
+        frame_valid = code_frame_valid * cfg.upsample.stack_factor * cfg.acoustic_decoder.stride_size
+    audio, out_len = vocos.vocos_forward(
+        cfg.vocos, consts.vocos, params["vocos"], dec, dec_len, frame_valid=frame_valid,
+        precision=precision,
+    )
+    return {"y": audio, "output_length": out_len}
+
+
+def training_forward(
+    cfg: CodecConfig,
+    consts: CodecConstants,
+    params: dict,
+    mel_features: jnp.ndarray,
+    mel_lens: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Dict[str, jnp.ndarray]:
+    """Training forward (model.py:112-165): mel -> ... -> reconstructed audio.
+
+    STE gradients flow through the FSQ round; the frozen encoder is handled by
+    the optimizer masking, not here.
+    """
+    enc, enc_len = transformer.encoder_forward(
+        cfg.acoustic_encoder, params["encoder"], mel_features, mel_lens, precision=precision
+    )
+    z, z_len = sampling.frame_stack_down(cfg.downsample, consts.af, params["downsample"], enc, enc_len)
+    zq, codes = fsq.group_fsq_forward(consts.fsq, z, z_len)
+    up, up_len = sampling.frame_stack_up(cfg.upsample, consts.af, params["upsample"], zq, z_len)
+    dec, dec_len = transformer.decoder_forward(
+        cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision
+    )
+    audio, out_len = vocos.vocos_forward(
+        cfg.vocos, consts.vocos, params["vocos"], dec, dec_len, precision=precision
+    )
+    return {"reconstructed_audio": audio, "audio_lengths": out_len, "codes": codes}
+
+
+def init_params(key, cfg: CodecConfig) -> dict:
+    """Random initialization of the full codec (for training / tests)."""
+    keys = jax.random.split(key, 5)
+    return {
+        "encoder": transformer.init_encoder(keys[0], cfg.acoustic_encoder),
+        "downsample": sampling.init_frame_stack_down(keys[1], cfg.downsample),
+        "upsample": sampling.init_frame_stack_up(keys[2], cfg.upsample),
+        "decoder": transformer.init_decoder(keys[3], cfg.acoustic_decoder),
+        "vocos": vocos.init_vocos(keys[4], cfg.vocos),
+    }
+
+
+class AudioCodec:
+    """User-facing codec with the reference's API shape.
+
+    Chunked ``encode``/``decode`` replicate model.py:244-373 exactly; both wrap
+    a single compiled fixed-shape program per direction.
+    """
+
+    def __init__(
+        self,
+        cfg: CodecConfig,
+        params: dict,
+        batch_size: int = 8,
+        precision: str = "highest",
+    ):
+        self.cfg = cfg
+        self.consts = CodecConstants(cfg)
+        self.params = jax.device_put(
+            jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        )
+        self.batch_size = batch_size
+        self.input_sample_rate = cfg.input_sample_rate
+        self.output_sample_rate = cfg.output_sample_rate
+        self.max_audio_seconds = cfg.max_audio_seconds
+        self.encoder_downsample_rate = cfg.encoder_downsample_rate
+        self.decoder_upsample_rate = cfg.decoder_upsample_rate
+        self.num_groups = cfg.quantizer.num_groups
+
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+
+        self._tokenize = jax.jit(
+            partial(tokenize, cfg, self.consts, precision=prec)
+        )
+        self._detokenize = jax.jit(
+            partial(detokenize, cfg, self.consts, precision=prec)
+        )
+
+    # -- single-chunk paths (parity with inference_tokenize/detokenize) -----
+
+    def inference_tokenize(self, wav: np.ndarray, input_lengths: np.ndarray) -> dict:
+        """wav (B, T<=chunk_samples) host array -> codes (device arrays)."""
+        b, t = wav.shape
+        n = self.cfg.chunk_samples
+        if t < n:
+            wav = np.pad(wav, ((0, 0), (0, n - t)))
+        else:
+            wav = wav[:, :n]
+        return self._tokenize(self.params, jnp.asarray(wav, jnp.float32), jnp.asarray(input_lengths))
+
+    def inference_detokenize(
+        self, codes: np.ndarray, codes_lengths: np.ndarray, chunk_width: Optional[int] = None
+    ) -> dict:
+        """codes (G, B, T<=code_frames) -> waveform (device arrays)."""
+        g, b, t = codes.shape
+        n = self.cfg.code_frames
+        width = chunk_width if chunk_width is not None else t
+        if t < n:
+            codes = np.pad(codes, ((0, 0), (0, 0), (0, n - t)))
+        return self._detokenize(
+            self.params,
+            jnp.asarray(codes, jnp.int32),
+            jnp.asarray(codes_lengths),
+            jnp.asarray(width, jnp.int32),
+        )
+
+    # -- chunked streaming (parity with model.py:244-373) --------------------
+
+    def encode(self, wav_list: List[np.ndarray], overlap_seconds: int = 10) -> dict:
+        """List of 1-D waveforms -> {"codes_list": [ (G, T_i) int32 ]}."""
+        cfg = self.cfg
+        duration_seconds = self.max_audio_seconds - overlap_seconds
+        chunk_size = self.max_audio_seconds * self.input_sample_rate
+        duration_size = duration_seconds * self.input_sample_rate
+        code_duration_length = duration_size // self.encoder_downsample_rate
+
+        batch_size = len(wav_list)
+        max_length = max(len(w) for w in wav_list)
+        input_lengths = np.array([len(w) for w in wav_list], np.int64)
+        wav_tensor = np.zeros((batch_size, max_length), np.float32)
+        for i, w in enumerate(wav_list):
+            wav_tensor[i, : len(w)] = np.asarray(w, np.float32).reshape(-1)
+
+        max_chunks = (max_length + duration_size - 1) // duration_size
+        chunks_out = []
+        for chunk_idx in range(max_chunks):
+            start = chunk_idx * duration_size
+            end = min(start + chunk_size, max_length)
+            chunk = wav_tensor[:, start:end]
+            chunk_lengths = np.clip(input_lengths - start, 0, end - start)
+            if chunk_lengths.max() == 0:
+                continue
+
+            result = self.inference_tokenize(chunk, chunk_lengths)
+            codes = np.asarray(result["codes"])  # (G, B, code_frames)
+            code_lens = np.asarray(result["codes_lengths"])
+
+            valid = np.clip(code_lens, 0, code_duration_length)
+            out = codes[:, :, :code_duration_length].copy()
+            # zero beyond each sample's valid region (already zero via FSQ
+            # masking, but enforce for exact reference behavior)
+            t_idx = np.arange(code_duration_length)
+            out *= (t_idx[None, None, :] < valid[None, :, None]).astype(out.dtype)
+            chunks_out.append(out)
+
+        if chunks_out:
+            codes_tensor = np.concatenate(chunks_out, axis=-1)
+            codes_list = [
+                codes_tensor[:, i, : input_lengths[i] // self.encoder_downsample_rate]
+                for i in range(batch_size)
+            ]
+        else:
+            codes_list = [np.zeros((self.num_groups, 0), np.int32) for _ in range(batch_size)]
+        return {"codes_list": codes_list}
+
+    def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10) -> dict:
+        """List of (G, T_i) code arrays -> {"syn_wav_list": [ (T_i*1280,) f32 ]}."""
+        duration_seconds = self.max_audio_seconds - overlap_seconds
+        chunk_code_length = self.max_audio_seconds * self.input_sample_rate // self.encoder_downsample_rate
+        duration_code_length = duration_seconds * self.input_sample_rate // self.encoder_downsample_rate
+        duration_wav_length = duration_code_length * self.decoder_upsample_rate
+
+        batch_size = len(codes_list)
+        max_code_length = max(c.shape[-1] for c in codes_list)
+        code_lengths = np.array([c.shape[-1] for c in codes_list], np.int64)
+        codes_tensor = np.zeros((self.num_groups, batch_size, max_code_length), np.int32)
+        for i, c in enumerate(codes_list):
+            codes_tensor[:, i, : c.shape[-1]] = np.asarray(c)
+
+        max_chunks = (max_code_length + duration_code_length - 1) // duration_code_length
+        wav_chunks = []
+        for chunk_idx in range(max_chunks):
+            start = chunk_idx * duration_code_length
+            end = min(start + chunk_code_length, max_code_length)
+            chunk_codes = codes_tensor[:, :, start:end]
+            chunk_code_lengths = np.clip(code_lengths - start, 0, end - start)
+            if chunk_code_lengths.max() == 0:
+                continue
+
+            result = self.inference_detokenize(chunk_codes, chunk_code_lengths, chunk_width=end - start)
+            wav = np.asarray(result["y"])  # (B, chunk_samples)
+            wav_lens = np.asarray(result["output_length"])
+
+            valid = np.clip(wav_lens, 0, duration_wav_length)
+            out = wav[:, :duration_wav_length].copy()
+            t_idx = np.arange(duration_wav_length)
+            out *= (t_idx[None, :] < valid[:, None]).astype(out.dtype)
+            wav_chunks.append(out)
+
+        if wav_chunks:
+            wav_tensor = np.concatenate(wav_chunks, axis=-1)
+            syn_wav_list = [
+                wav_tensor[i, : code_lengths[i] * self.decoder_upsample_rate]
+                for i in range(batch_size)
+            ]
+        else:
+            syn_wav_list = [np.zeros((0,), np.float32) for _ in range(batch_size)]
+        return {"syn_wav_list": syn_wav_list}
+
+    @classmethod
+    def load_from_checkpoint(cls, config_path: str, ckpt_path: str, **kwargs) -> "AudioCodec":
+        """Mirror of model.py:375-396, consuming the torch .pt checkpoint."""
+        from simwhisper_codec_tpu.utils.checkpoint import load_codec_params
+
+        logger.info("Loading model from %s and %s", config_path, ckpt_path)
+        cfg = load_config(config_path)
+        params = load_codec_params(ckpt_path, cfg)
+        return cls(cfg, params, **kwargs)

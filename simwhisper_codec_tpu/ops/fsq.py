@@ -94,11 +94,17 @@ def codes_to_indices(consts: FSQConstants, codes: jnp.ndarray) -> jnp.ndarray:
     """Codes (..., D) -> group indices (..., G) int32 (quantizer.py:169-179).
 
     nonneg = half * code + half; index_g = sum_d nonneg_d * base_d.
-    The per-group segment sum is a reshape + sum over the trailing group axis.
+
+    nonneg is mathematically an integer in [0, L).  The reference's float
+    arithmetic lands on it exactly (separate f32 mul/add round back to the
+    integer), but XLA may fuse ``half*code+half`` into an FMA whose single
+    rounding leaves N - eps and truncates to N-1.  Rounding to int32 before
+    the base-weighted sum gives the true index on every backend, bit-equal to
+    the reference.
     """
     half = jnp.asarray(consts.half, codes.dtype)
-    nonneg = half * codes + half
-    weighted = nonneg * jnp.asarray(consts.dim_base, codes.dtype)
+    nonneg = jnp.round(half * codes + half).astype(jnp.int32)
+    weighted = nonneg * jnp.asarray(consts.dim_base, jnp.int32)
     g, d = consts.num_groups, consts.dims_per_group
     weighted = weighted.reshape(codes.shape[:-1] + (g, d))
     return jnp.sum(weighted, axis=-1).astype(jnp.int32)
