@@ -87,11 +87,15 @@ def _init_conv(key, w_shape):
 
 def _init_res_unit(key, dim):
     keys = jax.random.split(key, 2)
-    zero = jnp.zeros((dim,), jnp.float32)
+
+    def zeros():
+        # fresh buffer per leaf — shared buffers break argument donation
+        return jnp.zeros((dim,), jnp.float32)
+
     return {
-        "snake1": {"alpha": zero, "beta": zero},
+        "snake1": {"alpha": zeros(), "beta": zeros()},
         "conv1": _init_conv(keys[0], (7, dim, dim)),
-        "snake2": {"alpha": zero, "beta": zero},
+        "snake2": {"alpha": zeros(), "beta": zeros()},
         "conv2": _init_conv(keys[1], (1, dim, dim)),
     }
 

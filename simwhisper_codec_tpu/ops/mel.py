@@ -36,7 +36,8 @@ def hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
     min_log_hz = 1000.0
     min_log_mel = 15.0
     logstep = 27.0 / np.log(6.4)
-    return np.where(freq >= min_log_hz, min_log_mel + np.log(freq / min_log_hz) * logstep, mels)
+    safe = np.maximum(freq, 1e-12)  # avoid log(0) in the unselected branch
+    return np.where(freq >= min_log_hz, min_log_mel + np.log(safe / min_log_hz) * logstep, mels)
 
 
 def mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
