@@ -1,0 +1,114 @@
+"""Tests: eval metrics sanity, WER calculator, data utils, audio I/O, params."""
+
+import numpy as np
+import pytest
+
+from simwhisper_codec_tpu.eval import metrics as M
+from simwhisper_codec_tpu.eval.wer import Calculator, characterize, edit_distance
+from simwhisper_codec_tpu.utils import data as D
+from simwhisper_codec_tpu.utils.audio_io import load_audio, save_audio
+from simwhisper_codec_tpu.utils.params import count_params_by_module
+
+
+def make_speechlike(n=32000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000
+    f0 = 120 + 20 * np.sin(2 * np.pi * 3 * t)
+    sig = np.zeros(n)
+    for h in range(1, 8):
+        sig += np.sin(2 * np.pi * h * np.cumsum(f0) / 16000) / h
+    envelope = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t) ** 2
+    return (sig * envelope * 0.1 + 0.001 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_stoi_identity_and_monotonicity():
+    x = make_speechlike()
+    assert M.stoi(x, x, 16000) > 0.99
+    rng = np.random.default_rng(1)
+    mild = x + 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+    heavy = x + 0.2 * rng.standard_normal(len(x)).astype(np.float32)
+    s_mild, s_heavy = M.stoi(x, mild, 16000), M.stoi(x, heavy, 16000)
+    # narrowband synthetic signal in white noise: absolute values are modest,
+    # but ordering must hold
+    assert s_mild > s_heavy > 0.0
+    assert s_mild > 0.5
+
+
+def test_si_snr_and_snr():
+    x = make_speechlike()
+    assert M.si_snr(x, x) > 50
+    assert M.si_snr(x, 0.5 * x) > 50  # scale invariant
+    assert M.snr(x, 0.5 * x) < 10     # not scale invariant
+    noisy = x + 0.1 * np.std(x) * np.random.default_rng(2).standard_normal(len(x)).astype(np.float32)
+    assert 10 < M.si_snr(x, noisy) < 30
+
+
+def test_mcd_lsd_sane():
+    x = make_speechlike()
+    assert M.mel_cepstral_distortion(x, x, 16000) < 1e-6
+    assert M.log_spectral_distance(x, x) < 1e-6
+    y = make_speechlike(seed=3) + 0.05
+    assert M.mel_cepstral_distortion(x, y, 16000) > 0.5
+
+
+def test_wer_calculator():
+    assert characterize("Hello, world! <noise> 你好") == ["HELLO", "WORLD", "你", "好"]
+    s = edit_distance(["A", "B", "C"], ["A", "X", "C", "D"])
+    assert (s.cor, s.sub, s.ins, s.dele) == (2, 1, 1, 0)
+    calc = Calculator()
+    calc.calculate("u1", "the cat sat", "the cat sat")
+    calc.calculate("u2", "the dog ran", "a dog")
+    assert calc.total.cor == 4 and abs(calc.wer - 2 / 6) < 1e-9
+
+
+def test_manifest_roundtrip(tmp_path):
+    recs = [{"id": "a", "duration": 1.5}, {"id": "b", "duration": 35.0}, {"id": "c"}]
+    p = tmp_path / "m.jsonl"
+    D.write_jsonl_manifest(p, recs)
+    back = D.read_jsonl_manifest(p)
+    assert back == recs
+    kept = D.filter_manifest(back, min_duration=1.0, max_duration=30.0)
+    assert [r["id"] for r in kept] == ["a", "c"]
+
+
+def test_distributed_sampler_coverage():
+    weights = np.ones(100)
+    shards = []
+    for rank in range(4):
+        s = D.DistributedWeightedSampler(weights, 40, num_replicas=4, rank=rank, seed=7)
+        s.set_epoch(3)
+        shards.append(list(s))
+    all_idx = sum(shards, [])
+    assert len(all_idx) == 40
+    # same epoch+seed -> identical global draw across ranks (disjoint strides)
+    s2 = D.DistributedWeightedSampler(weights, 40, num_replicas=4, rank=0, seed=7)
+    s2.set_epoch(3)
+    assert list(s2) == shards[0]
+    # different epoch -> different draw
+    s2.set_epoch(4)
+    assert list(s2) != shards[0]
+
+
+def test_length_bucketing():
+    batches = D.length_bucket_batches([100, 5, 50, 7, 99, 51], 2)
+    flat = sum(batches, [])
+    assert sorted(flat) == list(range(6))
+    assert set(batches[0]) == {1, 3}  # two shortest together
+
+
+def test_audio_io_roundtrip(tmp_path):
+    x = make_speechlike()
+    p = tmp_path / "x.wav"
+    save_audio(p, x, 16000)
+    y = load_audio(p, target_sample_rate=16000)
+    assert y.shape == x.shape
+    assert np.abs(x - y).max() < 1e-3  # 16-bit quantization
+    # resample path
+    z = load_audio(p, target_sample_rate=8000)
+    assert abs(len(z) - len(x) // 2) <= 1
+
+
+def test_param_counting():
+    tree = {"enc": {"w": np.zeros((3, 4))}, "dec": {"a": np.zeros(5), "b": np.zeros((2, 2))}}
+    counts = count_params_by_module(tree)
+    assert counts == {"enc": 12, "dec": 9, "total": 21}

@@ -1,0 +1,79 @@
+"""Speaker similarity: cosine similarity of speaker embeddings over paired dirs.
+
+Mirrors ``tools/speaker/spk_sim_cal.py:13-75`` + ``extract_spk_emb.py:38-94``.
+The reference embeds with ECAPA-TDNN on WavLM-large features (s3prl/fairseq
+upstream, downloaded weights).  In a zero-egress environment the model-backed
+path gates cleanly; the pairing/cosine logic and embedding cache layout are
+native and work with any embedding extractor exposing
+``embed(wav, sample_rate) -> np.ndarray``.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def have_speaker_model() -> bool:
+    try:
+        import s3prl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def load_extractor():
+    """ECAPA-TDNN(WavLM-large) extractor when s3prl + weights are available."""
+    raise RuntimeError(
+        "speaker embedding extraction requires s3prl + WavLM-large weights "
+        "(unavailable in a zero-egress environment); precomputed .npy "
+        "embeddings per utterance are also accepted via --emb_dir pairs"
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--original_dir", type=str, required=True)
+    parser.add_argument("--synthesized_dir", type=str, required=True)
+    parser.add_argument("--orig_emb_dir", type=str, default=None,
+                        help="dir of precomputed <utt>.npy embeddings for originals")
+    parser.add_argument("--synth_emb_dir", type=str, default=None)
+    args = parser.parse_args()
+
+    if args.orig_emb_dir and args.synth_emb_dir:
+        sims = []
+        for orig_npy in sorted(Path(args.orig_emb_dir).glob("*.npy")):
+            synth_npy = Path(args.synth_emb_dir) / orig_npy.name
+            if synth_npy.exists():
+                sims.append(cosine(np.load(orig_npy).reshape(-1), np.load(synth_npy).reshape(-1)))
+        print(f"SIM mean over {len(sims)} pairs: {np.mean(sims):.4f}")
+        return
+
+    if not have_speaker_model():
+        print(
+            "speaker SIM requires s3prl + WavLM-large (zero-egress: unavailable), "
+            "or precomputed embeddings via --orig_emb_dir/--synth_emb_dir"
+        )
+        sys.exit(2)
+
+    extractor = load_extractor()
+    sims = []
+    for o, s in zip(find_audio_files(args.original_dir), find_audio_files(args.synthesized_dir)):
+        eo = extractor.embed(load_audio(o, 16000), 16000)
+        es = extractor.embed(load_audio(s, 16000), 16000)
+        sims.append(cosine(eo, es))
+    print(f"SIM mean over {len(sims)} pairs: {np.mean(sims):.4f}")
+
+
+if __name__ == "__main__":
+    main()
