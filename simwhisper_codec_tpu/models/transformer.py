@@ -129,14 +129,21 @@ def run_layers(
     bias: jnp.ndarray,
     num_heads: int,
     precision=jax.lax.Precision.HIGHEST,
-) -> jnp.ndarray:
-    """Scan the transformer stack (stacked params with leading layer axis)."""
+    collect: bool = False,
+):
+    """Scan the transformer stack (stacked params with leading layer axis).
+
+    With ``collect=True`` also returns the per-layer outputs stacked along a
+    leading axis (L, B, T, D) — the scan's ys, used for the reference's
+    ``output_hidden_states`` layer-pick path (modules.py:343-355).
+    """
 
     def body(carry, lp):
-        return transformer_layer(lp, carry, bias, num_heads, precision), None
+        out = transformer_layer(lp, carry, bias, num_heads, precision)
+        return out, (out if collect else None)
 
-    out, _ = jax.lax.scan(body, x, stacked)
-    return out
+    out, ys = jax.lax.scan(body, x, stacked)
+    return (out, ys) if collect else out
 
 
 def seq_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
@@ -152,7 +159,8 @@ def encoder_forward(
     mel_lengths: jnp.ndarray,
     pos_emb: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    output_hidden_states: bool = False,
+):
     """OmniAudioEncoder forward (modules.py:287-376).
 
     Args:
@@ -179,10 +187,24 @@ def encoder_forward(
         x = (x.astype(jnp.float32) + pos_emb[:t].astype(jnp.float32)).astype(x.dtype)
 
     bias = attention_bias(out_lengths, t, causal=False)
-    x = run_layers(p["layers"], x, bias, cfg.encoder_attention_heads, precision)
-    x = layer_norm(p["ln"], x)
-    x = jnp.where(seq_mask(out_lengths, t), x, 0)
-    return x, out_lengths
+    if not output_hidden_states:
+        x = run_layers(p["layers"], x, bias, cfg.encoder_attention_heads, precision)
+        x = layer_norm(p["ln"], x)
+        x = jnp.where(seq_mask(out_lengths, t), x, 0)
+        return x, out_lengths
+
+    # reference semantics (modules.py:343-371): states are [input-to-layer-1,
+    # ..., input-to-layer-L, final-LN output], each masked.
+    x0 = x
+    x, ys = run_layers(
+        p["layers"], x, bias, cfg.encoder_attention_heads, precision, collect=True
+    )
+    final = layer_norm(p["ln"], x)
+    mask = seq_mask(out_lengths, t)
+    pre_layer = jnp.concatenate([x0[None], ys[:-1]], axis=0)
+    all_states = jnp.concatenate([pre_layer, final[None]], axis=0)
+    all_states = jnp.where(mask[None], all_states, 0)
+    return jnp.where(mask, final, 0), out_lengths, all_states
 
 
 def decoder_forward(
