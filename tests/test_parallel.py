@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh.
+
+Substitutes for multi-chip hardware: DP x TP training step, sharded tokenize
+equivalence, and the driver's dryrun path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from simwhisper_codec_tpu.config import (
+    CodecConfig,
+    DecoderConfig,
+    EncoderConfig,
+    SampleStackConfig,
+    VocosConfig,
+)
+from simwhisper_codec_tpu.models.codec import CodecConstants, init_params, tokenize
+from simwhisper_codec_tpu.parallel import mesh as pmesh
+
+TINY = CodecConfig(
+    acoustic_encoder=EncoderConfig(d_model=64, encoder_layers=2, encoder_attention_heads=4, encoder_ffn_dim=128),
+    acoustic_decoder=DecoderConfig(d_model=64, decoder_layers=2, decoder_attention_heads=4, decoder_ffn_dim=128),
+    downsample=SampleStackConfig(in_dim=64, latent_dim=32, stack_factor=4, hidden_dim=48),
+    upsample=SampleStackConfig(out_dim=64, latent_dim=32, stack_factor=4, hidden_dim=48),
+    vocos=VocosConfig(input_channels=80, dim=64, intermediate_dim=128, num_layers=2),
+)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_tokenize_matches_single_device():
+    cfg = TINY
+    consts = CodecConstants(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((8, 32000)).astype(np.float32) * 0.1
+    wav = np.pad(wav, ((0, 0), (0, cfg.chunk_samples - 32000)))
+    lengths = np.full((8,), 32000, np.int64)
+
+    ref = tokenize(cfg, consts, params, jnp.asarray(wav), jnp.asarray(lengths))
+    ref_codes = np.asarray(ref["codes"])
+
+    mesh = pmesh.make_mesh(8, model_axis=2)
+    sharded_params = pmesh.shard_params(params, mesh)
+    wav_s = jax.device_put(jnp.asarray(wav), pmesh.batch_sharding(mesh))
+    len_s = jax.device_put(jnp.asarray(lengths), pmesh.batch_sharding(mesh))
+
+    fn = jax.jit(lambda p, w, l: tokenize(cfg, consts, p, w, l))
+    out = fn(sharded_params, wav_s, len_s)
+    np.testing.assert_array_equal(np.asarray(out["codes"]), ref_codes)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    """entry() returns a jittable fn; check it traces (tiny abstract eval only)."""
+    import __graft_entry__ as ge
+
+    fn, (params, wav, lengths) = ge.entry()
+    # full-size compile is for the driver; here just verify abstract tracing
+    shapes = jax.eval_shape(fn, params, wav, lengths)
+    y_shape, codes_shape = shapes
+    assert codes_shape.shape == (8, 1, 375)
+    assert y_shape.shape == (1, 480000)
