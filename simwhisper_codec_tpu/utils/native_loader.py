@@ -1,0 +1,132 @@
+"""ctypes bindings for the native (C++) audio loader.
+
+Builds ``native/audioloader.cpp`` on first use (g++, cached in
+``native/build/``) and exposes:
+
+ - ``load_audio_batch(paths, target_sr, num_threads)``: multithreaded WAV
+   decode + kaiser-sinc polyphase resample to mono float32;
+ - ``load_audio`` / ``save_audio`` single-file equivalents.
+
+Falls back transparently to the pure-Python path (utils/audio_io.py) when no
+C++ toolchain is available or a file isn't plain WAV.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "audioloader.cpp"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB_PATH = _BUILD_DIR / "libaudioloader.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if _build_failed:
+        return None
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(_LIB_PATH), str(_SRC), "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception as e:
+            logger.warning("native audioloader build failed (%s); using Python fallback", e)
+            _build_failed = True
+            return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.audioloader_load.restype = ctypes.c_long
+    lib.audioloader_load.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ]
+    lib.audioloader_load_batch.restype = ctypes.c_long
+    lib.audioloader_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.audioloader_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.audioloader_save_wav.restype = ctypes.c_int
+    lib.audioloader_save_wav.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None:
+        _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
+    lib = get_lib()
+    if lib is not None and str(path).lower().endswith(".wav"):
+        out = ctypes.POINTER(ctypes.c_float)()
+        n = lib.audioloader_load(str(path).encode(), target_sample_rate, ctypes.byref(out))
+        if n >= 0:
+            arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+            lib.audioloader_free(out)
+            return arr
+    from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
+
+    return py_load(path, target_sample_rate)
+
+
+def load_audio_batch(
+    paths: List[str], target_sample_rate: int = 16000, num_threads: int = 0
+) -> List[np.ndarray]:
+    """Decode many files in parallel (native thread pool); Python fallback per-file."""
+    lib = get_lib()
+    if lib is None or not all(str(p).lower().endswith(".wav") for p in paths):
+        from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
+
+        return [py_load(p, target_sample_rate) for p in paths]
+
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    outs = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_long * n)()
+    lib.audioloader_load_batch(c_paths, n, target_sample_rate, num_threads, outs, lens)
+
+    result = []
+    from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
+
+    for i in range(n):
+        if lens[i] >= 0:
+            arr = np.ctypeslib.as_array(outs[i], shape=(lens[i],)).copy()
+            lib.audioloader_free(outs[i])
+            result.append(arr)
+        else:
+            result.append(py_load(paths[i], target_sample_rate))
+    return result
+
+
+def save_audio(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
+    lib = get_lib()
+    wav = np.ascontiguousarray(np.asarray(wav, np.float32).reshape(-1))
+    if lib is not None:
+        ptr = wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if lib.audioloader_save_wav(str(path).encode(), ptr, len(wav), sample_rate) == 0:
+            return
+    from simwhisper_codec_tpu.utils.audio_io import save_audio as py_save
+
+    py_save(path, wav, sample_rate)
