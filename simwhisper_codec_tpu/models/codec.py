@@ -25,6 +25,7 @@ Batches are padded to a fixed batch size so each program compiles once.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -58,6 +59,7 @@ def tokenize(
     wav: jnp.ndarray,
     sample_lengths: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
+    attn_impl: str = "dense",
 ) -> Dict[str, jnp.ndarray]:
     """wav (B, chunk_samples) + lengths -> codes. Mirrors inference_tokenize.
 
@@ -70,7 +72,8 @@ def tokenize(
     feats = feats.astype(dtype)
 
     enc, enc_len = transformer.encoder_forward(
-        cfg.acoustic_encoder, params["encoder"], feats, mel_lens, precision=precision
+        cfg.acoustic_encoder, params["encoder"], feats, mel_lens, precision=precision,
+        attn_impl=attn_impl,
     )
     z, z_len = sampling.frame_stack_down(cfg.downsample, consts.af, params["downsample"], enc, enc_len)
     zq, codes = fsq.group_fsq_forward(consts.fsq, z.astype(jnp.float32), z_len)
@@ -85,6 +88,7 @@ def detokenize(
     code_lengths: jnp.ndarray,
     code_frame_valid: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
+    attn_impl: str = "dense",
 ) -> Dict[str, jnp.ndarray]:
     """codes (G, B, Tc) -> waveform. Mirrors inference_detokenize.
 
@@ -96,7 +100,8 @@ def detokenize(
     zq = fsq.group_fsq_decode(consts.fsq, codes, code_lengths).astype(dtype)  # (B, Tc, D)
     up, up_len = sampling.frame_stack_up(cfg.upsample, consts.af, params["upsample"], zq, code_lengths)
     dec, dec_len = transformer.decoder_forward(
-        cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision
+        cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision,
+        attn_impl=attn_impl,
     )
     frame_valid = None
     if code_frame_valid is not None:
@@ -161,7 +166,15 @@ class AudioCodec:
         params: dict,
         batch_size: int = 8,
         precision: str = "highest",
+        mode: str = "parity",
     ):
+        """mode: "parity" (f32, HIGHEST matmuls, dense attention — bit-exact
+        codes vs the reference) or "fast" (bf16 compute, default-precision
+        matmuls, Pallas blockwise attention — the serving path)."""
+        if mode == "fast":
+            cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+            precision = "default"
+        self.mode = mode
         self.cfg = cfg
         self.consts = CodecConstants(cfg)
         self.params = jax.device_put(
@@ -180,11 +193,12 @@ class AudioCodec:
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
 
+        attn_impl = "flash" if mode == "fast" else "dense"
         self._tokenize = jax.jit(
-            partial(tokenize, cfg, self.consts, precision=prec)
+            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=attn_impl)
         )
         self._detokenize = jax.jit(
-            partial(detokenize, cfg, self.consts, precision=prec)
+            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=attn_impl)
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----

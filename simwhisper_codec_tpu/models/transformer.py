@@ -106,10 +106,17 @@ def transformer_layer(
     bias: jnp.ndarray,
     num_heads: int,
     precision=jax.lax.Precision.HIGHEST,
+    lengths: Optional[jnp.ndarray] = None,
+    attn_impl: str = "dense",
 ) -> jnp.ndarray:
     """Pre-LN block: LN->attn->res, LN->fc1->gelu->fc2->res (modules.py:214-232)."""
     h = layer_norm(p["attn_ln"], x)
-    x = x + varlen_attention(p, h, bias, num_heads, precision)
+    if attn_impl == "flash":
+        from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_flash
+
+        x = x + varlen_attention_flash(p, h, lengths, num_heads)
+    else:
+        x = x + varlen_attention(p, h, bias, num_heads, precision)
     h = layer_norm(p["final_ln"], x)
     h = jnp.matmul(h, p["fc1"]["w"].astype(x.dtype), precision=precision) + p["fc1"]["b"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=False)
@@ -130,6 +137,8 @@ def run_layers(
     num_heads: int,
     precision=jax.lax.Precision.HIGHEST,
     collect: bool = False,
+    lengths: Optional[jnp.ndarray] = None,
+    attn_impl: str = "dense",
 ):
     """Scan the transformer stack (stacked params with leading layer axis).
 
@@ -139,7 +148,7 @@ def run_layers(
     """
 
     def body(carry, lp):
-        out = transformer_layer(lp, carry, bias, num_heads, precision)
+        out = transformer_layer(lp, carry, bias, num_heads, precision, lengths, attn_impl)
         return out, (out if collect else None)
 
     out, ys = jax.lax.scan(body, x, stacked)
@@ -160,6 +169,7 @@ def encoder_forward(
     pos_emb: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
     output_hidden_states: bool = False,
+    attn_impl: str = "dense",
 ):
     """OmniAudioEncoder forward (modules.py:287-376).
 
@@ -186,9 +196,12 @@ def encoder_forward(
         assert pos_emb is not None
         x = (x.astype(jnp.float32) + pos_emb[:t].astype(jnp.float32)).astype(x.dtype)
 
-    bias = attention_bias(out_lengths, t, causal=False)
+    bias = None if attn_impl == "flash" else attention_bias(out_lengths, t, causal=False)
     if not output_hidden_states:
-        x = run_layers(p["layers"], x, bias, cfg.encoder_attention_heads, precision)
+        x = run_layers(
+            p["layers"], x, bias, cfg.encoder_attention_heads, precision,
+            lengths=out_lengths, attn_impl=attn_impl,
+        )
         x = layer_norm(p["ln"], x)
         x = jnp.where(seq_mask(out_lengths, t), x, 0)
         return x, out_lengths
@@ -197,7 +210,8 @@ def encoder_forward(
     # ..., input-to-layer-L, final-LN output], each masked.
     x0 = x
     x, ys = run_layers(
-        p["layers"], x, bias, cfg.encoder_attention_heads, precision, collect=True
+        p["layers"], x, bias, cfg.encoder_attention_heads, precision, collect=True,
+        lengths=out_lengths, attn_impl=attn_impl,
     )
     final = layer_norm(p["ln"], x)
     mask = seq_mask(out_lengths, t)
@@ -213,6 +227,7 @@ def decoder_forward(
     h: jnp.ndarray,
     lengths: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
+    attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """OmniAudioDecoder forward (modules.py:437-474).
 
@@ -221,8 +236,11 @@ def decoder_forward(
     layers are non-causal despite the comment (modules.py:431).
     """
     t = h.shape[1]
-    bias = attention_bias(lengths, t, causal=False)
-    x = run_layers(p["layers"], h, bias, cfg.decoder_attention_heads, precision)
+    bias = None if attn_impl == "flash" else attention_bias(lengths, t, causal=False)
+    x = run_layers(
+        p["layers"], h, bias, cfg.decoder_attention_heads, precision,
+        lengths=lengths, attn_impl=attn_impl,
+    )
     x = layer_norm(p["ln"], x)
     x = jnp.where(seq_mask(lengths, t), x, 0)
 

@@ -1,0 +1,131 @@
+"""Pallas blockwise attention kernel for the encoder/decoder hot path.
+
+The dense path (models/transformer.py) materializes (B, H, T, T) score
+tensors in HBM — at T=1500, B=8, H=12 that is ~860 MB of f32 traffic per
+layer.  This kernel tiles queries into VMEM-resident blocks and streams
+K/V once, so HBM traffic is O(T*D) per head: the standard flash-attention
+memory shape, specialized to this model's variable-length additive bias.
+
+Semantics match ``VarLenAttention`` (reference modules.py:111-187): the bias
+adds +1.0 to valid key positions and float32-min to invalid ones, so
+fully-padded query rows degrade to uniform attention exactly like the
+reference (their outputs are masked downstream).  Not bit-identical to the
+dense path (different accumulation order) — parity mode keeps dense f32;
+this kernel serves the throughput path.
+
+Grid: (B*H, T/block_q); K/V for one (batch, head) live in VMEM (T=1536,
+D=64 f32 -> ~400 KB each), scores per block are (block_q, T) -> ~800 KB.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = float(np.finfo(np.float32).min)
+
+
+def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int, block_q: int):
+    bh = pl.program_id(0)
+    b = bh // heads
+    seq_len = len_ref[b]
+
+    q = q_ref[0]  # (block_q, D), already scaled by head_dim**-0.5
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]  # (T, D)
+    t = k.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, T)
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], t), dimension=1)
+    bias = jnp.where(key_pos < seq_len, jnp.float32(1.0), jnp.float32(NEG_BIG))
+    scores = scores + bias
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / s).astype(v.dtype)
+
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Variable-length attention. q/k/v: (B, H, T, D) with q pre-scaled.
+
+    Returns (B, H, T, D).  T is padded to a multiple of ``block_q`` internally;
+    rows beyond the original T are garbage and must be cropped (done here).
+    """
+    b, h, t, d = q.shape
+    t_pad = -(-t // block_q) * block_q
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    qf = q.reshape(b * h, t_pad, d)
+    kf = k.reshape(b * h, t_pad, d)
+    vf = v.reshape(b * h, t_pad, d)
+
+    grid = (b * h, t_pad // block_q)
+    kernel = functools.partial(_attn_kernel, heads=h, block_q=block_q)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i, lens: (bh, i, 0)),
+                pl.BlockSpec((1, t_pad, d), lambda bh, i, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, t_pad, d), lambda bh, i, lens: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, lens: (bh, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qf, kf, vf)
+
+    return out.reshape(b, h, t_pad, d)[:, :, :t, :]
+
+
+def varlen_attention_flash(
+    p: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for models.transformer.varlen_attention using the
+    Pallas kernel (serving path; use dense f32 for bit parity)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Pallas TPU kernels need the interpreter on CPU
+    b, t, d = x.shape
+    hd = d // num_heads
+    scale = hd**-0.5
+    q = (x @ p["q"]["w"].astype(x.dtype) + p["q"]["b"].astype(x.dtype)) * scale
+    k = x @ p["k"]["w"].astype(x.dtype)
+    v = x @ p["v"]["w"].astype(x.dtype) + p["v"]["b"].astype(x.dtype)
+    q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    o = flash_attention(q, k, v, lengths, interpret=interpret)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return o @ p["o"]["w"].astype(x.dtype) + p["o"]["b"].astype(x.dtype)

@@ -1,0 +1,40 @@
+"""Fast (bf16 + Pallas attention) serving mode: runs and stays close to parity."""
+
+import numpy as np
+import pytest
+
+from simwhisper_codec_tpu.models.codec import AudioCodec, init_params
+
+from test_parallel import TINY
+
+
+@pytest.fixture(scope="module")
+def codecs():
+    import jax
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    parity = AudioCodec(TINY, params, mode="parity")
+    fast = AudioCodec(TINY, params, mode="fast")
+    return parity, fast
+
+
+def test_fast_mode_round_trip(codecs):
+    parity, fast = codecs
+    rng = np.random.default_rng(0)
+    wavs = [(rng.standard_normal(48000) * 0.1).astype(np.float32)]
+
+    enc_p = parity.encode(wavs, overlap_seconds=10)["codes_list"]
+    enc_f = fast.encode(wavs, overlap_seconds=10)["codes_list"]
+    assert enc_p[0].shape == enc_f[0].shape
+    # bf16 encoder: most code indices agree with the f32 path
+    agreement = float((enc_p[0] == enc_f[0]).mean())
+    assert agreement > 0.85, f"fast-mode code agreement {agreement:.3f}"
+
+    dec_f = fast.decode(enc_p, overlap_seconds=10)["syn_wav_list"]
+    dec_p = parity.decode(enc_p, overlap_seconds=10)["syn_wav_list"]
+    assert dec_f[0].shape == dec_p[0].shape
+    assert np.isfinite(dec_f[0]).all()
+    # waveforms correlate strongly
+    a, b = dec_p[0], dec_f[0]
+    corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert corr > 0.95, f"fast-mode waveform correlation {corr:.3f}"
