@@ -27,7 +27,7 @@ import numpy as np
 
 from simwhisper_codec_tpu.config import VocosConfig
 from simwhisper_codec_tpu.models.transformer import layer_norm
-from simwhisper_codec_tpu.ops.conv import conv1d
+from simwhisper_codec_tpu.ops.conv import conv1d, depthwise_conv1d_shifts
 from simwhisper_codec_tpu.ops.stft import ISTFTConstants, istft_same, make_istft_constants
 
 
@@ -55,7 +55,8 @@ def convnext_block(
     residual = x
     if mask is not None:
         x = x * mask
-    x = conv1d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=3, groups=x.shape[-1], precision=precision)
+    # depthwise k7 as 7 shift-FMAs (w stored (7, 1, C) -> (7, C))
+    x = depthwise_conv1d_shifts(x, p["dwconv"]["w"][:, 0, :], p["dwconv"]["b"], padding=3)
     x = layer_norm(p["norm"], x, eps=1e-6)
     x = jnp.matmul(x, p["pw1"]["w"].astype(x.dtype), precision=precision) + p["pw1"]["b"].astype(x.dtype)
     x = jax.nn.gelu(x, approximate=False)

@@ -79,6 +79,59 @@ def conv_transpose1d(
     return y
 
 
+def depthwise_conv1d_shifts(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    dilation: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Depthwise conv as K shifted multiply-adds — the TPU-native lowering.
+
+    ``feature_group_count=C`` convs can lower to per-channel loops on TPU; for
+    small kernels the conv is just K vector FMAs over the full (B, T, C)
+    tensor, fully parallel on the VPU.  x: (B, T, C), w: (K, C).
+    Matches torch depthwise Conv1d(groups=C) semantics.
+    """
+    k = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    t_out = x.shape[1] + 2 * padding - dilation * (k - 1)
+    y = None
+    for i in range(k):
+        seg = jax.lax.slice_in_dim(xp, i * dilation, i * dilation + t_out, axis=1)
+        term = seg * w[i].astype(x.dtype)[None, None, :]
+        y = term if y is None else y + term
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def shared_filter_shifts(
+    x: jnp.ndarray,
+    taps: jnp.ndarray,
+    *,
+    t_out: int,
+    offset: int = 0,
+    stride_phase: Optional[int] = None,
+) -> jnp.ndarray:
+    """Sum_i taps[i] * x[:, offset + i (+ stride'd index), :] over a pre-padded x.
+
+    Helper for the polyphase alias-free resamplers: ``stride_phase=2`` reads
+    every other input sample (x already phase-decomposed by the caller when
+    needed).  taps: (K,) shared across channels.
+    """
+    k = taps.shape[0]
+    step = stride_phase or 1
+    y = None
+    for i in range(k):
+        start = offset + i * step
+        seg = jax.lax.slice_in_dim(x, start, start + t_out, axis=1)
+        term = seg * taps[i].astype(x.dtype)
+        y = term if y is None else y + term
+    return y
+
+
 def depthwise_shared_filter(x: jnp.ndarray, taps: jnp.ndarray, *, stride: int = 1, lhs_dilation: int = 1, pad_lo: int = 0, pad_hi: int = 0, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Depthwise conv where every channel shares the same 1-D ``taps`` filter.
 

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from simwhisper_codec_tpu.ops.conv import depthwise_shared_filter
+from simwhisper_codec_tpu.ops.conv import shared_filter_shifts
 
 
 def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
@@ -73,27 +73,49 @@ def snake_beta(x: jnp.ndarray, alpha_log: jnp.ndarray, beta_log: jnp.ndarray) ->
 
 
 def upsample2x(consts: AliasFreeConstants, x: jnp.ndarray) -> jnp.ndarray:
-    """Anti-aliased 2x upsample (resample.py UpSample1d). x: (B, T, C) -> (B, 2T, C)."""
-    r, k = consts.ratio, consts.kernel_size
-    pad = k // r - 1
-    pad_left = pad * r + (k - r) // 2
-    pad_right = pad * r + (k - r + 1) // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
-    # torch conv_transpose1d(stride=r) == lhs-dilated conv with flipped taps;
-    # taps are symmetric-in-construction but flip anyway for exactness.
-    taps = jnp.flip(jnp.asarray(consts.up_taps), axis=0)
-    y = r * depthwise_shared_filter(x, taps, lhs_dilation=r, pad_lo=k - 1, pad_hi=k - 1)
-    return y[:, pad_left : y.shape[1] - pad_right, :]
+    """Anti-aliased 2x upsample (resample.py UpSample1d). x: (B, T, C) -> (B, 2T, C).
+
+    TPU-native polyphase formulation: the stride-2 transposed depthwise conv
+    decomposes into two 6-tap shift-multiply-add phases which are interleaved
+    — no grouped conv (which can lower to per-channel loops on TPU), just 12
+    vector FMAs over (B, T, C).
+
+    Derivation (k=12, r=2, replicate pad 5, crop 15): out[n] = sum_j f[j] *
+    xp[(n-j)/2] over j with n's parity; cropped y[2u] uses odd taps reversed
+    at offset 2, y[2u+1] even taps reversed at offset 3.
+    """
+    k = consts.kernel_size
+    assert consts.ratio == 2 and k == 12
+    b, t, c = x.shape
+    pad = k // 2 - 1  # 5
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    f = consts.up_taps
+    taps0 = jnp.asarray(f[11::-2].copy())  # f[11], f[9], ..., f[1]
+    taps1 = jnp.asarray(f[10::-2].copy())  # f[10], f[8], ..., f[0]
+    y0 = shared_filter_shifts(xp, 2.0 * taps0, t_out=t, offset=2)
+    y1 = shared_filter_shifts(xp, 2.0 * taps1, t_out=t, offset=3)
+    return jnp.stack([y0, y1], axis=2).reshape(b, 2 * t, c)
 
 
 def downsample2x(consts: AliasFreeConstants, x: jnp.ndarray) -> jnp.ndarray:
-    """Anti-aliased 2x downsample (resample.py DownSample1d). x: (B, 2T, C) -> (B, T, C)."""
+    """Anti-aliased 2x downsample (resample.py DownSample1d). x: (B, 2T, C) -> (B, T, C).
+
+    Polyphase: y[t] = sum_i f[2i]*xp[2t+2i] + f[2i+1]*xp[2t+2i+1]; the even/odd
+    input phases turn the strided depthwise conv into two 6-tap shift-FMA
+    chains.
+    """
     k = consts.kernel_size
-    even = int(k % 2 == 0)
-    pad_left = k // 2 - even
-    pad_right = k // 2
-    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
-    return depthwise_shared_filter(x, jnp.asarray(consts.down_taps), stride=consts.ratio)
+    assert consts.ratio == 2 and k == 12
+    b, t2, c = x.shape
+    t = t2 // 2
+    pad_left, pad_right = k // 2 - 1, k // 2  # 5, 6
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    xe = xp[:, 0::2, :]  # (B, T+6, C) even phase
+    xo = xp[:, 1::2, :]  # (B, T+5, C) odd phase
+    f = consts.down_taps
+    ye = shared_filter_shifts(xe, jnp.asarray(f[0::2].copy()), t_out=t, offset=0)
+    yo = shared_filter_shifts(xo, jnp.asarray(f[1::2].copy()), t_out=t, offset=0)
+    return ye + yo
 
 
 def activation1d(
