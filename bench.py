@@ -4,16 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no speed numbers (SURVEY.md §6); the driver target is
->= 10x real-time per chip on LibriSpeech-test-clean-like audio.  We measure
-end-to-end audio-seconds processed per wall-second (encode -> codes ->
-decode, fixed-shape 30 s chunks, batch of 8), report x-real-time, and
-normalize vs_baseline against the 10x target.
+>= 10x real-time per chip.  We measure the serving config (bf16 compute):
+end-to-end audio-seconds processed per wall-second through the two fixed-shape
+jitted programs (30 s chunks, batch of 8), forcing execution with a scalar
+readback each iteration, and report x-real-time with vs_baseline = value/10.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -30,37 +32,34 @@ def main() -> None:
         tokenize,
     )
 
-    cfg = CodecConfig()
+    cfg = dataclasses.replace(CodecConfig(), compute_dtype="bfloat16")
     consts = CodecConstants(cfg)
     params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
 
     batch = 8
     n_samples = cfg.chunk_samples  # 30 s per utterance
+    prec = jax.lax.Precision.DEFAULT
 
-    tok = jax.jit(lambda p, w, l: tokenize(cfg, consts, p, w, l))
-    detok = jax.jit(
-        lambda p, c, l, fv: detokenize(cfg, consts, p, c, l, fv)
-    )
+    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec))
+    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec))
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)
     lengths = jnp.full((batch,), n_samples, jnp.int32)
     frame_valid = jnp.asarray(cfg.code_frames, jnp.int32)
 
-    def round_trip():
-        t = tok(params, wav, lengths)
+    def round_trip(w):
+        t = tok(params, w, lengths)
         d = detok(params, t["codes"], t["codes_lengths"], frame_valid)
-        return d["y"]
+        # scalar sync forces full execution before timing stops
+        return float(jnp.sum(jnp.abs(d["y"])))
 
-    # compile + warmup
-    y = round_trip()
-    jax.block_until_ready(y)
+    round_trip(wav)  # compile + warmup
 
     iters = 10
     start = time.perf_counter()
     for _ in range(iters):
-        y = round_trip()
-    jax.block_until_ready(y)
+        round_trip(wav)
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * batch * (n_samples / cfg.input_sample_rate)

@@ -167,13 +167,17 @@ class AudioCodec:
         batch_size: int = 8,
         precision: str = "highest",
         mode: str = "parity",
+        attn_impl: Optional[str] = None,
     ):
-        """mode: "parity" (f32, HIGHEST matmuls, dense attention — bit-exact
-        codes vs the reference) or "fast" (bf16 compute, default-precision
-        matmuls, Pallas blockwise attention — the serving path)."""
+        """mode: "parity" (f32, HIGHEST matmuls — bit-exact codes vs the
+        reference) or "fast" (bf16 compute, default-precision matmuls — the
+        serving path).  ``attn_impl``: "dense" (default) or "flash" (Pallas
+        blockwise kernel; requires a backend with Mosaic support — the
+        tunneled axon platform does not compile it)."""
         if mode == "fast":
             cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
             precision = "default"
+        self._attn_impl = attn_impl or "dense"
         self.mode = mode
         self.cfg = cfg
         self.consts = CodecConstants(cfg)
@@ -193,12 +197,11 @@ class AudioCodec:
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
 
-        attn_impl = "flash" if mode == "fast" else "dense"
         self._tokenize = jax.jit(
-            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=attn_impl)
+            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl)
         )
         self._detokenize = jax.jit(
-            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=attn_impl)
+            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl)
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----

@@ -14,7 +14,8 @@ def codecs():
 
     params = init_params(jax.random.PRNGKey(0), TINY)
     parity = AudioCodec(TINY, params, mode="parity")
-    fast = AudioCodec(TINY, params, mode="fast")
+    # flash runs via the Pallas interpreter on CPU — covers the kernel path
+    fast = AudioCodec(TINY, params, mode="fast", attn_impl="flash")
     return parity, fast
 
 
