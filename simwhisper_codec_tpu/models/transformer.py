@@ -252,6 +252,36 @@ def decoder_forward(
     return x, lengths * cfg.stride_size
 
 
+def generic_transformer_forward(
+    p: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    pos_emb: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
+    output_hidden_states: bool = False,
+):
+    """Generic Transformer encoder (reference modules.py:637-734).
+
+    x: (B, T, D) channels-last; always adds the sinusoidal positional
+    embedding (unlike the acoustic encoder) and preserves sequence length.
+    """
+    t = x.shape[1]
+    x = (x.astype(jnp.float32) + pos_emb[:t].astype(jnp.float32)).astype(x.dtype)
+    bias = attention_bias(lengths, t, causal=False)
+    mask = seq_mask(lengths, t)
+    if not output_hidden_states:
+        x = run_layers(p["layers"], x, bias, num_heads, precision)
+        x = jnp.where(mask, layer_norm(p["ln"], x), 0)
+        return x, lengths
+    x0 = x
+    x, ys = run_layers(p["layers"], x, bias, num_heads, precision, collect=True)
+    final = layer_norm(p["ln"], x)
+    pre_layer = jnp.concatenate([x0[None], ys[:-1]], axis=0)
+    all_states = jnp.concatenate([pre_layer, final[None]], axis=0)
+    return jnp.where(mask, final, 0), lengths, all_states
+
+
 # ---------------------------------------------------------------------------
 # Random initialization (matches torch defaults closely enough for training;
 # checkpoint import is the parity path).

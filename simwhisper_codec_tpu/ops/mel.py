@@ -160,6 +160,33 @@ def log_mel(
     return (log_spec + 4.0) / 4.0
 
 
+def log_mel_dithered(
+    consts: MelConstants,
+    wav: jnp.ndarray,
+    key,
+    dither: float,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """log_mel with additive Gaussian dither (feature_extractor.py:94-95)."""
+    if dither != 0.0:
+        wav = wav + dither * jax.random.normal(key, wav.shape, wav.dtype)
+    return log_mel(consts, wav, precision=precision)
+
+
+def zero_mean_unit_var_norm(
+    wav: jnp.ndarray, lengths: jnp.ndarray, padding_value: float = 0.0
+) -> jnp.ndarray:
+    """Per-sample zero-mean/unit-variance over the valid region, padding reset
+    to ``padding_value`` (feature_extractor.py:114-134)."""
+    t = wav.shape[-1]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(wav.dtype)
+    denom = jnp.maximum(lengths.astype(wav.dtype), 1.0)[:, None]
+    mean = jnp.sum(wav * mask, axis=-1, keepdims=True) / denom
+    var = jnp.sum(jnp.square(wav - mean) * mask, axis=-1, keepdims=True) / denom
+    normed = (wav - mean) / jnp.sqrt(var + 1e-7)
+    return jnp.where(mask > 0, normed, padding_value)
+
+
 def mel_lengths(sample_lengths: jnp.ndarray, hop: int, max_frames: int) -> jnp.ndarray:
     """Valid mel frame count per sample: ceil(len/hop) capped at max_frames.
 
