@@ -36,12 +36,14 @@ def main() -> None:
     consts = CodecConstants(cfg)
     params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
 
-    batch = 8
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_samples = cfg.chunk_samples  # 30 s per utterance
     prec = jax.lax.Precision.DEFAULT
 
-    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec))
-    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec))
+    attn = "chunked:1536"  # MXU-aligned; see models/transformer.py::chunked_attention
+    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn))
+    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn))
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)

@@ -177,7 +177,11 @@ class AudioCodec:
         if mode == "fast":
             cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
             precision = "default"
-        self._attn_impl = attn_impl or "dense"
+            # MXU-aligned single-block attention: same speed as dense, half
+            # the compile time (Pallas flash needs a Mosaic-capable backend)
+            self._attn_impl = attn_impl or "chunked:1536"
+        else:
+            self._attn_impl = attn_impl or "dense"
         self.mode = mode
         self.cfg = cfg
         self.consts = CodecConstants(cfg)

@@ -100,6 +100,54 @@ def varlen_attention(
     return jnp.matmul(out, p["o"]["w"].astype(x.dtype), precision=precision) + p["o"]["b"].astype(x.dtype)
 
 
+def chunked_attention(
+    p: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    precision=jax.lax.Precision.DEFAULT,
+    block_q: int = 128,
+) -> jnp.ndarray:
+    """Memory-efficient attention in pure XLA: scan over query blocks.
+
+    Materializes only a (B, H, block_q, T) score tile per scan step instead of
+    the full (B, H, T, T) tensor — flash-attention memory behavior without a
+    custom kernel (the serving path on backends without Mosaic support).
+    Same variable-length bias semantics as ``varlen_attention``.
+    """
+    b, t, d = x.shape
+    hd = d // num_heads
+    scale = hd**-0.5
+    t_pad = -(-t // block_q) * block_q
+
+    q = (jnp.matmul(x, p["q"]["w"].astype(x.dtype), precision=precision) + p["q"]["b"].astype(x.dtype)) * scale
+    k = jnp.matmul(x, p["k"]["w"].astype(x.dtype), precision=precision)
+    v = jnp.matmul(x, p["v"]["w"].astype(x.dtype), precision=precision) + p["v"]["b"].astype(x.dtype)
+
+    q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)  # (B, H, T, hd)
+    k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    if t_pad != t:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, t_pad - t), (0, 0)])
+
+    key_valid = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
+    kbias = jnp.where(key_valid, jnp.float32(1.0), jnp.float32(jnp.finfo(jnp.float32).min))
+
+    qb = q.reshape(b, num_heads, t_pad // block_q, block_q, hd).transpose(2, 0, 1, 3, 4)
+
+    def body(_, q_block):  # q_block: (B, H, block_q, hd)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q_block, k, precision=precision,
+                            preferred_element_type=jnp.float32)
+        scores = scores + kbias[:, None, None, :]
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        return None, jnp.einsum("bhqk,bhkd->bhqd", w, v, precision=precision)
+
+    _, ob = jax.lax.scan(body, None, qb)
+    o = ob.transpose(1, 2, 0, 3, 4).reshape(b, num_heads, t_pad, hd)[:, :, :t, :]
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return jnp.matmul(o, p["o"]["w"].astype(x.dtype), precision=precision) + p["o"]["b"].astype(x.dtype)
+
+
 def transformer_layer(
     p: dict,
     x: jnp.ndarray,
@@ -115,6 +163,9 @@ def transformer_layer(
         from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_flash
 
         x = x + varlen_attention_flash(p, h, lengths, num_heads)
+    elif attn_impl.startswith("chunked"):
+        block_q = int(attn_impl.split(":")[1]) if ":" in attn_impl else 128
+        x = x + chunked_attention(p, h, lengths, num_heads, precision, block_q=block_q)
     else:
         x = x + varlen_attention(p, h, bias, num_heads, precision)
     h = layer_norm(p["final_ln"], x)
@@ -196,7 +247,7 @@ def encoder_forward(
         assert pos_emb is not None
         x = (x.astype(jnp.float32) + pos_emb[:t].astype(jnp.float32)).astype(x.dtype)
 
-    bias = None if attn_impl == "flash" else attention_bias(out_lengths, t, causal=False)
+    bias = None if attn_impl != "dense" else attention_bias(out_lengths, t, causal=False)
     if not output_hidden_states:
         x = run_layers(
             p["layers"], x, bias, cfg.encoder_attention_heads, precision,
@@ -236,7 +287,7 @@ def decoder_forward(
     layers are non-causal despite the comment (modules.py:431).
     """
     t = h.shape[1]
-    bias = None if attn_impl == "flash" else attention_bias(lengths, t, causal=False)
+    bias = None if attn_impl != "dense" else attention_bias(lengths, t, causal=False)
     x = run_layers(
         p["layers"], h, bias, cfg.decoder_attention_heads, precision,
         lengths=lengths, attn_impl=attn_impl,

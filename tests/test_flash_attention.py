@@ -60,3 +60,31 @@ def test_flash_full_layer_matches_dense_path():
     ref_np, out_np = np.asarray(ref), np.asarray(out)
     for bi, ln in enumerate([96, 50]):
         np.testing.assert_allclose(out_np[bi, :ln], ref_np[bi, :ln], atol=2e-5)
+
+
+def test_chunked_attention_matches_dense():
+    rng = np.random.default_rng(2)
+    b, t, dm, heads = 2, 200, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, t, dm)) * 0.3, jnp.float32)
+    lengths = jnp.array([200, 131])
+
+    def init_lin(key, din, dout, bias=True):
+        ks = jax.random.split(key)
+        p = {"w": 0.1 * jax.random.normal(ks[0], (din, dout))}
+        if bias:
+            p["b"] = 0.1 * jax.random.normal(ks[1], (dout,))
+        return p
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    p = {
+        "q": init_lin(keys[0], dm, dm),
+        "k": init_lin(keys[1], dm, dm, bias=False),
+        "v": init_lin(keys[2], dm, dm),
+        "o": init_lin(keys[3], dm, dm),
+    }
+    bias = jt.attention_bias(lengths, t)
+    ref = jt.varlen_attention(p, x, bias, heads)
+    out = jt.chunked_attention(p, x, lengths, heads, precision=jax.lax.Precision.HIGHEST)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    for bi, ln in enumerate([200, 131]):
+        np.testing.assert_allclose(out_np[bi, :ln], ref_np[bi, :ln], atol=2e-5)
