@@ -168,6 +168,7 @@ class AudioCodec:
         precision: str = "highest",
         mode: str = "parity",
         attn_impl: Optional[str] = None,
+        data_parallel: bool = False,
     ):
         """mode: "parity" (f32, HIGHEST matmuls — bit-exact codes vs the
         reference) or "fast" (bf16 compute, default-precision matmuls — the
@@ -185,9 +186,17 @@ class AudioCodec:
         self.mode = mode
         self.cfg = cfg
         self.consts = CodecConstants(cfg)
-        self.params = jax.device_put(
-            jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-        )
+        self.mesh = None
+        self._data_sharding = None
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self.mesh = Mesh(np.array(jax.devices()), ("data",))
+            self._data_sharding = NamedSharding(self.mesh, P("data"))
+            self.params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        else:
+            self.params = jax.device_put(params)
         self.batch_size = batch_size
         self.input_sample_rate = cfg.input_sample_rate
         self.output_sample_rate = cfg.output_sample_rate
@@ -218,7 +227,18 @@ class AudioCodec:
             wav = np.pad(wav, ((0, 0), (0, n - t)))
         else:
             wav = wav[:, :n]
-        return self._tokenize(self.params, jnp.asarray(wav, jnp.float32), jnp.asarray(input_lengths))
+        wav_arr = jnp.asarray(wav, jnp.float32)
+        len_arr = jnp.asarray(input_lengths)
+        if self._data_sharding is not None:
+            wav_arr, len_arr = self._shard_batch(wav_arr, len_arr)
+        out = self._tokenize(self.params, wav_arr, len_arr)
+        if wav_arr.shape[0] != b:  # drop device-padding rows
+            out = {
+                "zq": out["zq"][:b],
+                "codes": out["codes"][:, :b],
+                "codes_lengths": out["codes_lengths"][:b],
+            }
+        return out
 
     def inference_detokenize(
         self, codes: np.ndarray, codes_lengths: np.ndarray, chunk_width: Optional[int] = None
@@ -229,12 +249,38 @@ class AudioCodec:
         width = chunk_width if chunk_width is not None else t
         if t < n:
             codes = np.pad(codes, ((0, 0), (0, 0), (0, n - t)))
-        return self._detokenize(
-            self.params,
-            jnp.asarray(codes, jnp.int32),
-            jnp.asarray(codes_lengths),
-            jnp.asarray(width, jnp.int32),
+        codes_arr = jnp.asarray(codes, jnp.int32)
+        len_arr = jnp.asarray(codes_lengths)
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = self.mesh.devices.size
+            pad_b = (-codes_arr.shape[1]) % nd
+            if pad_b:
+                codes_arr = jnp.pad(codes_arr, ((0, 0), (0, pad_b), (0, 0)))
+                len_arr = jnp.pad(len_arr, ((0, pad_b),))
+            codes_arr = jax.device_put(
+                codes_arr, NamedSharding(self.mesh, P(None, "data"))
+            )
+            len_arr = jax.device_put(len_arr, self._data_sharding)
+        out = self._detokenize(
+            self.params, codes_arr, len_arr, jnp.asarray(width, jnp.int32)
         )
+        if codes_arr.shape[1] != b:  # drop device-padding rows
+            out = {"y": out["y"][:b], "output_length": out["output_length"][:b]}
+        return out
+
+    def _shard_batch(self, wav_arr, len_arr):
+        """Pad the batch to a device-count multiple and shard over 'data'."""
+        n = self.mesh.devices.size
+        b = wav_arr.shape[0]
+        pad = (-b) % n
+        if pad:
+            wav_arr = jnp.pad(wav_arr, ((0, pad), (0, 0)))
+            len_arr = jnp.pad(len_arr, ((0, pad),))
+        wav_arr = jax.device_put(wav_arr, self._data_sharding)
+        len_arr = jax.device_put(len_arr, self._data_sharding)
+        return wav_arr, len_arr
 
     # -- chunked streaming (parity with model.py:244-373) --------------------
 

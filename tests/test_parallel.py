@@ -73,3 +73,26 @@ def test_entry_compiles_tiny():
     y_shape, codes_shape = shapes
     assert codes_shape.shape == (8, 1, 375)
     assert y_shape.shape == (1, 480000)
+
+
+def test_data_parallel_codec_matches_single():
+    from simwhisper_codec_tpu.models.codec import AudioCodec, init_params
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    single = AudioCodec(TINY, params)
+    dp = AudioCodec(TINY, params, data_parallel=True)
+    assert dp.mesh is not None
+
+    rng = np.random.default_rng(1)
+    # batch of 3 (not divisible by 8 devices -> exercises padding)
+    wavs = [(rng.standard_normal(n) * 0.1).astype(np.float32) for n in (40000, 33000, 21000)]
+
+    enc_s = single.encode(wavs, overlap_seconds=10)["codes_list"]
+    enc_d = dp.encode(wavs, overlap_seconds=10)["codes_list"]
+    for a, b in zip(enc_s, enc_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dec_s = single.decode(enc_s, overlap_seconds=10)["syn_wav_list"]
+    dec_d = dp.decode(enc_s, overlap_seconds=10)["syn_wav_list"]
+    for a, b in zip(dec_s, dec_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
