@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from functools import partial
+from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -377,10 +378,16 @@ class AudioCodec:
 
     @classmethod
     def load_from_checkpoint(cls, config_path: str, ckpt_path: str, **kwargs) -> "AudioCodec":
-        """Mirror of model.py:375-396, consuming the torch .pt checkpoint."""
-        from simwhisper_codec_tpu.utils.checkpoint import load_codec_params
-
+        """Mirror of model.py:375-396. Accepts a torch ``.pt`` file or a native
+        Orbax checkpoint directory (see tools/convert_checkpoint.py)."""
         logger.info("Loading model from %s and %s", config_path, ckpt_path)
         cfg = load_config(config_path)
-        params = load_codec_params(ckpt_path, cfg)
+        if Path(ckpt_path).is_dir():
+            from simwhisper_codec_tpu.utils.checkpoint import load_orbax
+
+            params = load_orbax(ckpt_path, init_params(jax.random.PRNGKey(0), cfg))
+        else:
+            from simwhisper_codec_tpu.utils.checkpoint import load_codec_params
+
+            params = load_codec_params(ckpt_path, cfg)
         return cls(cfg, params, **kwargs)

@@ -112,3 +112,35 @@ def test_param_counting():
     tree = {"enc": {"w": np.zeros((3, 4))}, "dec": {"a": np.zeros(5), "b": np.zeros((2, 2))}}
     counts = count_params_by_module(tree)
     assert counts == {"enc": 12, "dec": 9, "total": 21}
+
+
+def test_ecapa_speaker_embedder():
+    import jax
+
+    from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder, ecapa_forward, init_ecapa
+
+    params = init_ecapa(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    feats = jnp.asarray(np.random.default_rng(0).standard_normal((2, 50, 80)), jnp.float32)
+    emb = ecapa_forward(params, feats)
+    assert emb.shape == (2, 192)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    embedder = SpeakerEmbedder(params)
+    e1 = embedder.embed(make_speechlike(16000, seed=0), 16000)
+    e2 = embedder.embed(make_speechlike(16000, seed=0), 16000)
+    assert e1.shape == (192,)
+    np.testing.assert_array_equal(e1, e2)  # deterministic
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from simwhisper_codec_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": {"c": np.ones(4, np.float32)}}
+    save_orbax(str(tmp_path / "ckpt"), tree)
+    back = load_orbax(str(tmp_path / "ckpt"), tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]), tree["b"]["c"])

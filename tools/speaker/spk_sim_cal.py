@@ -32,13 +32,24 @@ def have_speaker_model() -> bool:
         return False
 
 
-def load_extractor():
-    """ECAPA-TDNN(WavLM-large) extractor when s3prl + weights are available."""
-    raise RuntimeError(
-        "speaker embedding extraction requires s3prl + WavLM-large weights "
-        "(unavailable in a zero-egress environment); precomputed .npy "
-        "embeddings per utterance are also accepted via --emb_dir pairs"
-    )
+def load_extractor(checkpoint: str = None):
+    """ECAPA-TDNN extractor: native fbank variant (eval/speaker.py).
+
+    Matches the reference architecture; WavLM-large upstream features need
+    s3prl + downloaded weights, so the native path uses the fbank frontend
+    (reference feat_type='fbank' option).  Pass an Orbax checkpoint for
+    trained weights; random init is only meaningful for pipeline smoke tests.
+    """
+    from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder, init_ecapa
+
+    params = None
+    if checkpoint:
+        import jax
+
+        from simwhisper_codec_tpu.utils.checkpoint import load_orbax
+
+        params = load_orbax(checkpoint, init_ecapa(jax.random.PRNGKey(0)))
+    return SpeakerEmbedder(params)
 
 
 def main() -> None:
@@ -48,6 +59,8 @@ def main() -> None:
     parser.add_argument("--orig_emb_dir", type=str, default=None,
                         help="dir of precomputed <utt>.npy embeddings for originals")
     parser.add_argument("--synth_emb_dir", type=str, default=None)
+    parser.add_argument("--ecapa_checkpoint", type=str, default=None,
+                        help="Orbax checkpoint for the native fbank ECAPA")
     args = parser.parse_args()
 
     if args.orig_emb_dir and args.synth_emb_dir:
@@ -59,14 +72,7 @@ def main() -> None:
         print(f"SIM mean over {len(sims)} pairs: {np.mean(sims):.4f}")
         return
 
-    if not have_speaker_model():
-        print(
-            "speaker SIM requires s3prl + WavLM-large (zero-egress: unavailable), "
-            "or precomputed embeddings via --orig_emb_dir/--synth_emb_dir"
-        )
-        sys.exit(2)
-
-    extractor = load_extractor()
+    extractor = load_extractor(args.ecapa_checkpoint)
     sims = []
     for o, s in zip(find_audio_files(args.original_dir), find_audio_files(args.synthesized_dir)):
         eo = extractor.embed(load_audio(o, 16000), 16000)
