@@ -96,6 +96,35 @@ def extract_manifest(
     guard.touch()
 
 
+class HubertFeatureExtractor:
+    """HuBERT continuous features (the reference's hubert variant, E2 —
+    ``hifigan_continue_hubert/continuous_hubert_ssl.py:19-132``): HF
+    ``HubertModel`` hidden states at a chosen layer, 50 Hz, 768-d.
+
+    Requires the model weights in the local HF cache (zero-egress gating).
+    """
+
+    def __init__(self, model_name: str = "facebook/hubert-base-ls960", layer_id: int = -1,
+                 local_files_only: bool = True):
+        import torch
+        from transformers import HubertModel
+
+        self.torch = torch
+        self.model = HubertModel.from_pretrained(
+            model_name, local_files_only=local_files_only
+        ).eval()
+        self.layer_id = layer_id
+
+    def extract(self, wav: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        with torch.no_grad():
+            out = self.model(
+                torch.from_numpy(wav[None, :].astype(np.float32)),
+                output_hidden_states=True,
+            )
+        return out.hidden_states[self.layer_id][0].numpy()
+
+
 def build_encoder_params(
     enc_cfg: EncoderConfig,
     codec_checkpoint: str = None,

@@ -144,3 +144,56 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_orbax(str(tmp_path / "ckpt"), tree)
     np.testing.assert_array_equal(np.asarray(back["a"]), tree["a"])
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]), tree["b"]["c"])
+
+
+def test_whisper_init_key_mapping(tmp_path):
+    """Whisper init path with a locally constructed (tiny) HF Whisper model."""
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import WhisperConfig, WhisperModel
+
+    from simwhisper_codec_tpu.config import EncoderConfig
+    from simwhisper_codec_tpu.utils.whisper_init import load_whisper_encoder_params
+
+    hf_cfg = WhisperConfig(
+        d_model=32, encoder_layers=2, encoder_attention_heads=4, encoder_ffn_dim=64,
+        decoder_layers=1, decoder_attention_heads=4, decoder_ffn_dim=64,
+        num_mel_bins=80, max_source_positions=1500, vocab_size=100,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+    )
+    model = WhisperModel(hf_cfg)
+    local = tmp_path / "whisper_tiny"
+    model.save_pretrained(local)
+
+    enc_cfg = EncoderConfig(
+        d_model=32, encoder_layers=2, encoder_attention_heads=4, encoder_ffn_dim=64,
+    )
+    params = load_whisper_encoder_params(enc_cfg, str(local), local_files_only=True)
+    # spot-check a mapped tensor: conv1 weight (O,I,W) -> (W,I,O)
+    w_ref = model.encoder.conv1.weight.detach().numpy()
+    np.testing.assert_allclose(np.asarray(params["conv1"]["w"]), w_ref.transpose(2, 1, 0))
+    q_ref = model.encoder.layers[1].self_attn.q_proj.weight.detach().numpy()
+    np.testing.assert_allclose(np.asarray(params["layers"]["q"]["w"][1]), q_ref.T)
+
+
+def test_evaluator_wrappers():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools" / "base_eval"))
+    import evaluator
+
+    x = make_speechlike()
+    assert evaluator.calculate_stoi(x, x, 16000) > 0.99
+    wb, nb = evaluator.calculate_pesq_wb_nb(x, x, 16000)
+    assert wb is None or wb > 4.0  # None without pesq package
+
+
+def test_seed_everything():
+    from simwhisper_codec_tpu.utils.seeding import seed_everything
+
+    seed_everything(123)
+    a = np.random.rand(3)
+    seed_everything(123)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)

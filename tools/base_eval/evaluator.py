@@ -1,0 +1,44 @@
+"""Pairwise metric functions with the reference evaluator's API shape.
+
+Reference: ``tools/base_eval/evaluator.py:13-101`` — calculate_pesq_wb_nb and
+calculate_stoi over length-matched, [-1,1]-clipped signal pairs.  Thin
+wrappers over the native metric implementations (eval/metrics.py).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from simwhisper_codec_tpu.eval import metrics as M
+
+
+def _prepare(ref: np.ndarray, deg: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    m = min(len(ref), len(deg))
+    return np.clip(ref[:m], -1, 1), np.clip(deg[:m], -1, 1)
+
+
+def calculate_pesq_wb_nb(
+    ref: np.ndarray, deg: np.ndarray, sample_rate: int = 16000
+) -> Tuple[Optional[float], Optional[float]]:
+    """(PESQ-WB, PESQ-NB); None when the pesq package is unavailable."""
+    ref, deg = _prepare(ref, deg)
+    return (
+        M.pesq_score(ref, deg, sample_rate, "wb"),
+        M.pesq_score(ref, deg, sample_rate, "nb"),
+    )
+
+
+def calculate_stoi(ref: np.ndarray, deg: np.ndarray, sample_rate: int = 16000) -> float:
+    ref, deg = _prepare(ref, deg)
+    return M.stoi(ref, deg, sample_rate)
+
+
+def calculate_si_snr(ref: np.ndarray, deg: np.ndarray) -> float:
+    ref, deg = _prepare(ref, deg)
+    return M.si_snr(ref, deg)
