@@ -168,11 +168,13 @@ def transformer_layer(
         x = x + chunked_attention(p, h, lengths, num_heads, precision, block_q=block_q)
     else:
         x = x + varlen_attention(p, h, bias, num_heads, precision)
-    h = layer_norm(p["final_ln"], x)
+    # FFN on a flattened (B*T, D) view (2-D matmuls tile better on the MXU)
+    b, t, d = x.shape
+    h = layer_norm(p["final_ln"], x).reshape(b * t, d)
     h = jnp.matmul(h, p["fc1"]["w"].astype(x.dtype), precision=precision) + p["fc1"]["b"].astype(x.dtype)
     h = jax.nn.gelu(h, approximate=False)
     h = jnp.matmul(h, p["fc2"]["w"].astype(x.dtype), precision=precision) + p["fc2"]["b"].astype(x.dtype)
-    x = x + h
+    x = x + h.reshape(b, t, d)
     if x.dtype in (jnp.float16, jnp.bfloat16):
         # half-precision inf/nan clamp (modules.py:228-231)
         clamp = float(jnp.finfo(x.dtype).max) - 1000.0

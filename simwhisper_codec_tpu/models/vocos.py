@@ -57,11 +57,15 @@ def convnext_block(
         x = x * mask
     # depthwise k7 as 7 shift-FMAs (w stored (7, 1, C) -> (7, C))
     x = depthwise_conv1d_shifts(x, p["dwconv"]["w"][:, 0, :], p["dwconv"]["b"], padding=3)
+    # pointwise chain on a flattened (B*T, C) view — 2-D matmuls tile ~25%
+    # better on the MXU than the batched 3-D form (measured; docs/TPU_NOTES.md)
+    b, t, c = x.shape
+    x = x.reshape(b * t, c)
     x = layer_norm(p["norm"], x, eps=1e-6)
     x = jnp.matmul(x, p["pw1"]["w"].astype(x.dtype), precision=precision) + p["pw1"]["b"].astype(x.dtype)
     x = jax.nn.gelu(x, approximate=False)
     x = jnp.matmul(x, p["pw2"]["w"].astype(x.dtype), precision=precision) + p["pw2"]["b"].astype(x.dtype)
-    x = p["gamma"].astype(x.dtype) * x
+    x = (p["gamma"].astype(x.dtype) * x).reshape(b, t, c)
     return residual + x
 
 
