@@ -120,10 +120,9 @@ def chunked_attention(
     scale = hd**-0.5
     t_pad = -(-t // block_q) * block_q
 
-    xf = x.reshape(b * t, d)  # 2-D projections tile better on the MXU
-    q = (jnp.matmul(xf, p["q"]["w"].astype(x.dtype), precision=precision) + p["q"]["b"].astype(x.dtype)) * scale
-    k = jnp.matmul(xf, p["k"]["w"].astype(x.dtype), precision=precision)
-    v = jnp.matmul(xf, p["v"]["w"].astype(x.dtype), precision=precision) + p["v"]["b"].astype(x.dtype)
+    q = (jnp.matmul(x, p["q"]["w"].astype(x.dtype), precision=precision) + p["q"]["b"].astype(x.dtype)) * scale
+    k = jnp.matmul(x, p["k"]["w"].astype(x.dtype), precision=precision)
+    v = jnp.matmul(x, p["v"]["w"].astype(x.dtype), precision=precision) + p["v"]["b"].astype(x.dtype)
 
     q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)  # (B, H, T, hd)
     k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
@@ -145,9 +144,8 @@ def chunked_attention(
 
     _, ob = jax.lax.scan(body, None, qb)
     o = ob.transpose(1, 2, 0, 3, 4).reshape(b, num_heads, t_pad, hd)[:, :, :t, :]
-    o = o.transpose(0, 2, 1, 3).reshape(b * t, d)
-    o = jnp.matmul(o, p["o"]["w"].astype(x.dtype), precision=precision) + p["o"]["b"].astype(x.dtype)
-    return o.reshape(b, t, d)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return jnp.matmul(o, p["o"]["w"].astype(x.dtype), precision=precision) + p["o"]["b"].astype(x.dtype)
 
 
 def transformer_layer(
