@@ -197,3 +197,26 @@ def test_seed_everything():
     seed_everything(123)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_corpus_evaluator(tmp_path):
+    import jax
+
+    from simwhisper_codec_tpu.eval.corpus import evaluate_corpus
+    from simwhisper_codec_tpu.models.codec import AudioCodec, init_params
+
+    from test_parallel import TINY
+
+    in_dir = tmp_path / "corpus"
+    out_dir = tmp_path / "recon"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i, n in enumerate([24000, 40000]):
+        save_audio(in_dir / f"u{i}.wav", (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+
+    codec = AudioCodec(TINY, init_params(jax.random.PRNGKey(0), TINY))
+    stats = evaluate_corpus(codec, str(in_dir), str(out_dir), batch_size=2)
+    assert stats["files"] == 2
+    assert stats["x_realtime"] > 0
+    assert (out_dir / "u0.wav").exists() and (out_dir / "u1.wav").exists()
+    assert abs(stats["audio_seconds"] - 4.0) < 0.1
