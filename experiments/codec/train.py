@@ -95,7 +95,9 @@ def main(argv=None) -> None:
             upsample=SampleStackConfig(out_dim=64, latent_dim=32, stack_factor=4, hidden_dim=48),
             vocos=VocosConfig(input_channels=80, dim=64, intermediate_dim=128, num_layers=2),
         )
-        args.steps, args.batch_size, args.segment_seconds = 3, 2, 0.5
+        if args.steps == 100000:  # keep an explicitly requested step count
+            args.steps = 3
+        args.batch_size, args.segment_seconds = 2, 0.5
         wavs = [rng.standard_normal(12000).astype(np.float32) * 0.1 for _ in range(4)]
     else:
         cfg = CodecConfig()

@@ -12,7 +12,7 @@ import json
 import logging
 import time
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import numpy as np

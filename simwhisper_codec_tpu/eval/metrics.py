@@ -15,7 +15,6 @@ framework's runtime; instead:
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import numpy as np

@@ -15,8 +15,6 @@ concat -> conv 1x1 (1536) -> attentive stat pooling -> BN -> linear -> 192-d.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,13 +27,11 @@ lists (heterogeneous shapes — no scan), generators' resblocks likewise.
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from simwhisper_codec_tpu.ops.conv import conv1d, conv_transpose1d
 

@@ -22,7 +22,6 @@ TPU-first notes
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from simwhisper_codec_tpu.config import VocosConfig
 from simwhisper_codec_tpu.models.transformer import layer_norm

@@ -9,17 +9,11 @@ channels-last, weight-norm folded at import like the rest of the framework.
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from simwhisper_codec_tpu.models.transformer import layer_norm
 from simwhisper_codec_tpu.ops.conv import conv1d
-from simwhisper_codec_tpu.ops.stft import MDCTConstants, imdct, make_mdct_constants
+from simwhisper_codec_tpu.ops.stft import imdct, make_mdct_constants
 
 
 def symexp(x: jnp.ndarray) -> jnp.ndarray:
