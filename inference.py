@@ -34,6 +34,10 @@ def main() -> None:
     parser.add_argument("--output_dir", type=str, default="output_wavs")
     parser.add_argument("--overlap_seconds", type=int, default=10)
     parser.add_argument("--precision", type=str, default="highest", choices=["highest", "default"])
+    parser.add_argument("--mode", type=str, default="parity", choices=["parity", "fast"],
+                        help="parity: f32 bit-exact codes; fast: bf16 serving path")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all local devices")
     args = parser.parse_args()
 
     if args.device:
@@ -44,6 +48,7 @@ def main() -> None:
     generator = AudioCodec.load_from_checkpoint(
         config_path=args.config_path, ckpt_path=args.checkpoint_path,
         batch_size=args.batch_size, precision=args.precision,
+        mode=args.mode, data_parallel=args.data_parallel,
     )
 
     audio_paths = find_audio_files(input_dir=args.input_dir)

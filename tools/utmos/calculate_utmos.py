@@ -48,7 +48,8 @@ def main() -> None:
 
     from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
 
-    from .utmos_model import UTMOSScorer  # noqa: F401  (vendored scorer)
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from utmos_model import UTMOSScorer  # vendored scorer
 
     scorer = UTMOSScorer(args.ckpt)
     scores = []
