@@ -1,0 +1,189 @@
+"""Codec serving daemon: HTTP service for encode/decode at production throughput.
+
+New capability (the reference is batch-CLI only).  Stdlib-only HTTP server in
+front of the fixed-shape jitted codec programs, with micro-batching: requests
+arriving within a short window are padded into one device batch, amortizing
+the per-dispatch latency that dominates single-stream serving.
+
+Endpoints (Content-Type application/octet-stream unless noted):
+  POST /encode      raw 16 kHz mono f32 PCM body -> int32 codes (G*T), header
+                    X-Code-Shape: "8,T"
+  POST /decode      int32 codes body + X-Code-Shape header -> f32 PCM
+  POST /reconstruct f32 PCM -> f32 PCM (round trip)
+  GET  /healthz     JSON status + throughput counters
+
+Run:  python serve.py --checkpoint weights/SimWhisperCodec.pt --port 8300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from simwhisper_codec_tpu.utils.audio_io import set_logging
+
+logger = logging.getLogger(__name__)
+
+
+class MicroBatcher:
+    """Collects requests for up to ``window_ms`` and runs them as one batch."""
+
+    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0):
+        self.runner = runner
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.served = 0
+        self.audio_seconds = 0.0
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, kind: str, payload):
+        done = threading.Event()
+        slot = {"kind": kind, "payload": payload, "done": done, "result": None, "error": None}
+        self.q.put(slot)
+        done.wait()
+        if slot["error"]:
+            raise slot["error"]
+        return slot["result"]
+
+    def _loop(self):
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            by_kind: dict = {}
+            for slot in batch:
+                by_kind.setdefault(slot["kind"], []).append(slot)
+            for kind, slots in by_kind.items():
+                try:
+                    results = self.runner(kind, [s["payload"] for s in slots])
+                    for s, r in zip(slots, results):
+                        s["result"] = r
+                except Exception as e:  # surface per-request
+                    for s in slots:
+                        s["error"] = e
+                finally:
+                    for s in slots:
+                        s["done"].set()
+            self.served += len(batch)
+
+
+def make_runner(codec):
+    def runner(kind: str, payloads):
+        if kind == "encode":
+            out = codec.encode(payloads, overlap_seconds=10)
+            return out["codes_list"]
+        if kind == "decode":
+            out = codec.decode(payloads, overlap_seconds=10)
+            return out["syn_wav_list"]
+        if kind == "reconstruct":
+            codes = codec.encode(payloads, overlap_seconds=10)["codes_list"]
+            return codec.decode(codes, overlap_seconds=10)["syn_wav_list"]
+        raise ValueError(kind)
+
+    return runner
+
+
+def make_handler(batcher: MicroBatcher, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            logger.debug(fmt, *args)
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def _send(self, code: int, body: bytes, headers=None):
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps(
+                    {"status": "ok", "served": batcher.served,
+                     "audio_seconds": round(batcher.audio_seconds, 1)}
+                ).encode()
+                self._send(200, body, {"Content-Type": "application/json"})
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            try:
+                raw = self._read_body()
+                if self.path == "/encode":
+                    wav = np.frombuffer(raw, np.float32)
+                    batcher.audio_seconds += len(wav) / sample_rate
+                    codes = batcher.submit("encode", wav)
+                    self._send(200, np.ascontiguousarray(codes, np.int32).tobytes(),
+                               {"X-Code-Shape": f"{codes.shape[0]},{codes.shape[1]}"})
+                elif self.path == "/decode":
+                    g, t = (int(v) for v in self.headers["X-Code-Shape"].split(","))
+                    codes = np.frombuffer(raw, np.int32).reshape(g, t)
+                    wav = batcher.submit("decode", codes)
+                    self._send(200, np.asarray(wav, np.float32).tobytes())
+                elif self.path == "/reconstruct":
+                    wav = np.frombuffer(raw, np.float32)
+                    batcher.audio_seconds += len(wav) / sample_rate
+                    out = batcher.submit("reconstruct", wav)
+                    self._send(200, np.asarray(out, np.float32).tobytes())
+                else:
+                    self._send(404, b"not found")
+            except Exception as e:
+                logger.exception("request failed")
+                self._send(500, str(e).encode())
+
+    return Handler
+
+
+def main(argv=None):
+    set_logging()
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config/SimWhisperCodec.yaml")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8300)
+    p.add_argument("--mode", default="fast", choices=["fast", "parity"])
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--window_ms", type=float, default=5.0)
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from simwhisper_codec_tpu.models.codec import AudioCodec
+
+    codec = AudioCodec.load_from_checkpoint(args.config, args.checkpoint, mode=args.mode)
+    # warm the compiled programs so first requests aren't compile-bound
+    warm = [np.zeros(16000, np.float32)]
+    codec.decode(codec.encode(warm)["codes_list"])
+    logger.info("codec warm; serving on %s:%d (mode=%s)", args.host, args.port, args.mode)
+
+    batcher = MicroBatcher(make_runner(codec), args.max_batch, args.window_ms)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(batcher, codec.input_sample_rate))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
