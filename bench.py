@@ -41,7 +41,7 @@ def main() -> None:
     n_samples = cfg.chunk_samples  # 30 s per utterance
     prec = jax.lax.Precision.DEFAULT
 
-    attn = "chunked:1536"  # MXU-aligned; see models/transformer.py::chunked_attention
+    attn = "chunked:1536:bf16"  # MXU-aligned; see models/transformer.py::chunked_attention
     tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn))
     detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn))
 

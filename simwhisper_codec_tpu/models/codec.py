@@ -181,7 +181,7 @@ class AudioCodec:
             precision = "default"
             # MXU-aligned single-block attention: same speed as dense, half
             # the compile time (Pallas flash needs a Mosaic-capable backend)
-            self._attn_impl = attn_impl or "chunked:1536"
+            self._attn_impl = attn_impl or "chunked:1536:bf16"
         else:
             self._attn_impl = attn_impl or "dense"
         self.mode = mode

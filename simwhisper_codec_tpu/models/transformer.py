@@ -106,6 +106,7 @@ def chunked_attention(
     num_heads: int,
     precision=jax.lax.Precision.DEFAULT,
     block_q: int = 128,
+    score_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Memory-efficient attention in pure XLA: scan over query blocks.
 
@@ -113,6 +114,9 @@ def chunked_attention(
     the full (B, H, T, T) tensor — flash-attention memory behavior without a
     custom kernel (the serving path on backends without Mosaic support).
     Same variable-length bias semantics as ``varlen_attention``.
+
+    ``score_dtype=jnp.bfloat16`` halves score-tensor HBM traffic (the dominant
+    cost at T=1536); softmax max-subtraction keeps it stable.
     """
     b, t, d = x.shape
     hd = d // num_heads
@@ -130,13 +134,14 @@ def chunked_attention(
         q = jnp.pad(q, [(0, 0), (0, 0), (0, t_pad - t), (0, 0)])
 
     key_valid = jnp.arange(t)[None, :] < lengths[:, None]  # (B, T)
-    kbias = jnp.where(key_valid, jnp.float32(1.0), jnp.float32(jnp.finfo(jnp.float32).min))
+    neg = jnp.finfo(score_dtype).min
+    kbias = jnp.where(key_valid, jnp.asarray(1.0, score_dtype), jnp.asarray(neg, score_dtype))
 
     qb = q.reshape(b, num_heads, t_pad // block_q, block_q, hd).transpose(2, 0, 1, 3, 4)
 
     def body(_, q_block):  # q_block: (B, H, block_q, hd)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q_block, k, precision=precision,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=score_dtype)
         scores = scores + kbias[:, None, None, :]
         w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         return None, jnp.einsum("bhqk,bhkd->bhqd", w, v, precision=precision)
@@ -163,8 +168,12 @@ def transformer_layer(
 
         x = x + varlen_attention_flash(p, h, lengths, num_heads)
     elif attn_impl.startswith("chunked"):
-        block_q = int(attn_impl.split(":")[1]) if ":" in attn_impl else 128
-        x = x + chunked_attention(p, h, lengths, num_heads, precision, block_q=block_q)
+        parts = attn_impl.split(":")
+        block_q = int(parts[1]) if len(parts) > 1 else 128
+        score_dtype = jnp.bfloat16 if len(parts) > 2 and parts[2] == "bf16" else jnp.float32
+        x = x + chunked_attention(
+            p, h, lengths, num_heads, precision, block_q=block_q, score_dtype=score_dtype
+        )
     else:
         x = x + varlen_attention(p, h, bias, num_heads, precision)
     # FFN on a flattened (B*T, D) view (2-D matmuls tile better on the MXU)
