@@ -220,6 +220,11 @@ class AudioCodec:
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----
 
+    def _pad_batch_dim(self, b: int) -> int:
+        """Fixed compiled batch: pad small batches up to ``batch_size`` so the
+        corpus tail / single requests reuse the same executable."""
+        return self.batch_size if b < self.batch_size else b
+
     def inference_tokenize(self, wav: np.ndarray, input_lengths: np.ndarray) -> dict:
         """wav (B, T<=chunk_samples) host array -> codes (device arrays)."""
         b, t = wav.shape
@@ -228,6 +233,10 @@ class AudioCodec:
             wav = np.pad(wav, ((0, 0), (0, n - t)))
         else:
             wav = wav[:, :n]
+        bp = self._pad_batch_dim(b)
+        if bp != b:
+            wav = np.pad(wav, ((0, bp - b), (0, 0)))
+            input_lengths = np.pad(np.asarray(input_lengths), (0, bp - b))
         wav_arr = jnp.asarray(wav, jnp.float32)
         len_arr = jnp.asarray(input_lengths)
         if self._data_sharding is not None:
@@ -250,6 +259,10 @@ class AudioCodec:
         width = chunk_width if chunk_width is not None else t
         if t < n:
             codes = np.pad(codes, ((0, 0), (0, 0), (0, n - t)))
+        bp = self._pad_batch_dim(b)
+        if bp != b:
+            codes = np.pad(codes, ((0, 0), (0, bp - b), (0, 0)))
+            codes_lengths = np.pad(np.asarray(codes_lengths), (0, bp - b))
         codes_arr = jnp.asarray(codes, jnp.int32)
         len_arr = jnp.asarray(codes_lengths)
         if self._data_sharding is not None:
