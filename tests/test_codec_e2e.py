@@ -133,3 +133,42 @@ def test_fixed_batch_compilation(models, wavs):
     # batches of size 1, 2, 3 (all < batch_size=8) share one compiled program
     assert ours._tokenize._cache_size() == max(before, 1)
     assert ours._detokenize._cache_size() >= 1
+
+
+def test_sub_frame_utterance(models):
+    """Utterances shorter than one code frame (1280 samples) -> zero codes."""
+    _, ours = models
+    rng = np.random.default_rng(6)
+    enc = ours.encode([(rng.standard_normal(400) * 0.1).astype(np.float32)])
+    assert enc["codes_list"][0].shape == (8, 0)
+    dec = ours.decode(enc["codes_list"])
+    assert dec["syn_wav_list"][0].shape == (0,)
+
+
+def test_fuzz_code_parity(models):
+    """Randomized lengths: code indices stay bit-exact vs the reference."""
+    ref, ours = models
+    rng = np.random.default_rng(7)
+    lens = [int(v) for v in rng.integers(1500, 700000, size=4)]
+    wavs = [(rng.standard_normal(n) * 0.2).astype(np.float32) for n in lens]
+    with torch.no_grad():
+        ref_out = ref.encode([torch.from_numpy(w) for w in wavs], overlap_seconds=10,
+                             device=torch.device("cpu"))["codes_list"]
+    our_out = ours.encode(wavs, overlap_seconds=10)["codes_list"]
+    for i, (rc, oc) in enumerate(zip(ref_out, our_out)):
+        np.testing.assert_array_equal(
+            np.asarray(oc), rc.numpy(), err_msg=f"fuzz sample {i} len={lens[i]}"
+        )
+
+
+def test_fuzz_overlap_settings(models):
+    """Different overlap_seconds values keep bit-exact chunk arithmetic."""
+    ref, ours = models
+    rng = np.random.default_rng(8)
+    wavs = [(rng.standard_normal(750000) * 0.1).astype(np.float32)]
+    for overlap in (5, 15, 25):
+        with torch.no_grad():
+            rc = ref.encode([torch.from_numpy(wavs[0])], overlap_seconds=overlap,
+                            device=torch.device("cpu"))["codes_list"][0]
+        oc = ours.encode(wavs, overlap_seconds=overlap)["codes_list"][0]
+        np.testing.assert_array_equal(np.asarray(oc), rc.numpy(), err_msg=f"overlap={overlap}")
