@@ -122,9 +122,9 @@ def main(argv=None) -> None:
     g_tx, d_tx = codec_gan.make_codec_gan_optimizers(cfg, args.learning_rate)
     state = codec_gan.init_codec_gan_state(cfg, params, d_params, g_tx, d_tx)
     if args.resume:
-        restored = load_orbax(args.resume, {"params": state.params, "d_params": state.d_params})
-        state = state._replace(params=restored["params"], d_params=restored["d_params"])
-        logger.info("resumed from %s", args.resume)
+        restored = load_orbax(args.resume, state._asdict())
+        state = codec_gan.CodecGanState(**restored)
+        logger.info("resumed from %s at step %d", args.resume, int(state.step))
 
     step_fn = jax.jit(codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx))
 
@@ -137,7 +137,8 @@ def main(argv=None) -> None:
 
     log_path = out / "train_log.jsonl"
     t0 = time.time()
-    for step in range(1, args.steps + 1):
+    start_step = int(state.step) + 1
+    for step in range(start_step, args.steps + 1):
         audio = crop_batch(rng, wavs, args.batch_size, segment_samples)
         feats = seg_log_mel(jnp.asarray(audio))
         batch = {
@@ -154,7 +155,8 @@ def main(argv=None) -> None:
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
         if step % args.checkpoint_every == 0 or step == args.steps:
-            save_orbax(str(out / f"ckpt_{step:07d}"), {"params": state.params, "d_params": state.d_params})
+            # full state (params + both optimizers + step counter) for exact resume
+            save_orbax(str(out / f"ckpt_{step:07d}"), state._asdict())
 
     logger.info("done after %d steps", args.steps)
 

@@ -160,7 +160,8 @@ def main(argv=None) -> None:
         )
         if avg < best_loss or epoch % args.keep_checkpoint_interval == 0:
             best_loss = min(best_loss, avg)
-            save_orbax(str(ckpt_dir / f"epoch_{epoch:04d}"), {"g": state.g_params, "d": state.d_params})
+            # full state (G/D params + optimizers + step) for exact resume
+            save_orbax(str(ckpt_dir / f"epoch_{epoch:04d}"), state._asdict())
             logger.info("saved checkpoint at epoch %d", epoch)
 
     logger.info("training complete; best g_loss %.4f", best_loss)
