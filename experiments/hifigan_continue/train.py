@@ -164,6 +164,18 @@ def main(argv=None) -> None:
             save_orbax(str(ckpt_dir / f"epoch_{epoch:04d}"), state._asdict())
             logger.info("saved checkpoint at epoch %d", epoch)
 
+        # per-epoch progress sample synthesis (reference train.py:203-266)
+        sample_rec = next(iter(train_manifest.values()))
+        sample_feat = Path(feature_dir) / f"{sample_rec['id']}.npy"
+        if sample_feat.exists():
+            feats = np.load(sample_feat)[:, 0, :]
+            wav = np.asarray(
+                hg.generator_forward(gcfg, state.g_params, jnp.asarray(feats[None]))
+            )[0]
+            samples_dir = out / "samples"
+            samples_dir.mkdir(exist_ok=True)
+            save_audio(samples_dir / f"epoch_{epoch:04d}.wav", wav, args.sample_rate)
+
     logger.info("training complete; best g_loss %.4f", best_loss)
 
 
