@@ -18,3 +18,10 @@ Reference layer map: /root/reference (see SURVEY.md).
 __version__ = "0.1.0"
 
 from simwhisper_codec_tpu.config import CodecConfig, load_config  # noqa: F401
+
+
+def load_codec(config_path: str, ckpt_path: str, **kwargs):
+    """Convenience: build an AudioCodec from a config + checkpoint pair."""
+    from simwhisper_codec_tpu.models.codec import AudioCodec
+
+    return AudioCodec.load_from_checkpoint(config_path, ckpt_path, **kwargs)
