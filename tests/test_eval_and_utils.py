@@ -220,3 +220,25 @@ def test_corpus_evaluator(tmp_path):
     assert stats["x_realtime"] > 0
     assert (out_dir / "u0.wav").exists() and (out_dir / "u1.wav").exists()
     assert abs(stats["audio_seconds"] - 4.0) < 0.1
+
+
+def test_codebook_stats():
+    from simwhisper_codec_tpu.config import QuantizerConfig
+    from simwhisper_codec_tpu.eval.codebook import CodebookStats
+
+    cfg = QuantizerConfig()
+    stats = CodebookStats(cfg)
+    rng = np.random.default_rng(0)
+    # uniform codes -> entropy near max, usage near 1
+    stats.update(rng.integers(0, 2016, (8, 5000)).astype(np.int32))
+    rep = stats.report()
+    assert rep["frames"] == 5000
+    assert all(10.5 < h <= 11.0 for h in rep["entropy_bits_per_group"])
+    assert all(u > 0.9 for u in rep["usage_per_group"])
+    assert abs(rep["max_bitrate_bps"] - 8 * np.log2(2016) * 12.5) < 1
+
+    # degenerate codes -> zero entropy
+    stats2 = CodebookStats(cfg)
+    stats2.update(np.zeros((8, 100), np.int32))
+    rep2 = stats2.report()
+    assert all(h == 0.0 for h in rep2["entropy_bits_per_group"])
