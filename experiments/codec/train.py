@@ -67,6 +67,8 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--device", default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all local devices (DP)")
     args = p.parse_args(argv)
 
     if args.device or args.smoke:
@@ -97,7 +99,9 @@ def main(argv=None) -> None:
         )
         if args.steps == 100000:  # keep an explicitly requested step count
             args.steps = 3
-        args.batch_size, args.segment_seconds = 2, 0.5
+        if args.batch_size == 16:  # keep an explicitly requested batch size
+            args.batch_size = 2
+        args.segment_seconds = 0.5
         wavs = [rng.standard_normal(12000).astype(np.float32) * 0.1 for _ in range(4)]
     else:
         cfg = CodecConfig()
@@ -128,6 +132,19 @@ def main(argv=None) -> None:
 
     step_fn = jax.jit(codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx))
 
+    data_sharding = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        data_sharding = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        nd = len(jax.devices())
+        if args.batch_size % nd:
+            args.batch_size = -(-args.batch_size // nd) * nd
+            logger.info("batch_size rounded up to %d (device multiple)", args.batch_size)
+        logger.info("data-parallel over %d devices", nd)
+
     segment_samples = int(args.segment_seconds * cfg.input_sample_rate)
     # keep mel frame count even so encoder stride-2 divides cleanly
     segment_samples = segment_samples // (cfg.mel_hop_length * 2) * (cfg.mel_hop_length * 2)
@@ -147,6 +164,8 @@ def main(argv=None) -> None:
             "audio": jnp.asarray(audio),
             "audio_lens": jnp.full((args.batch_size,), segment_samples, jnp.int32),
         }
+        if data_sharding is not None:
+            batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         if step % args.log_every == 0 or step == args.steps:
             rec = {k: float(v) for k, v in metrics.items()}
