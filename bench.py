@@ -43,7 +43,7 @@ def main() -> None:
 
     attn = "chunked:1536:bf16"  # MXU-aligned; see models/transformer.py::chunked_attention
     tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn))
-    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn))
+    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn, fused_vocos=True))
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)

@@ -90,6 +90,7 @@ def detokenize(
     code_frame_valid: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
+    fused_vocos: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """codes (G, B, Tc) -> waveform. Mirrors inference_detokenize.
 
@@ -109,7 +110,7 @@ def detokenize(
         frame_valid = code_frame_valid * cfg.upsample.stack_factor * cfg.acoustic_decoder.stride_size
     audio, out_len = vocos.vocos_forward(
         cfg.vocos, consts.vocos, params["vocos"], dec, dec_len, frame_valid=frame_valid,
-        precision=precision,
+        precision=precision, fused=fused_vocos,
     )
     return {"y": audio, "output_length": out_len}
 
@@ -215,7 +216,8 @@ class AudioCodec:
             partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl)
         )
         self._detokenize = jax.jit(
-            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl)
+            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                    fused_vocos=(mode == "fast"))
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----

@@ -49,13 +49,25 @@ def convnext_block(
     x: jnp.ndarray,
     mask: Optional[jnp.ndarray],
     precision=jax.lax.Precision.HIGHEST,
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """ConvNeXt block (modules.py:1229-1248)."""
+    """ConvNeXt block (modules.py:1229-1248).
+
+    ``fused=True`` runs the LN->pw1->GELU->pw2->scale->residual chain as one
+    Pallas kernel (ops/fused_convnext.py) — ~35% faster on TPU, tanh-GELU
+    (serving path; parity mode keeps the exact-GELU XLA chain).
+    """
     residual = x
     if mask is not None:
         x = x * mask
     # depthwise k7 as 7 shift-FMAs (w stored (7, 1, C) -> (7, C))
     x = depthwise_conv1d_shifts(x, p["dwconv"]["w"][:, 0, :], p["dwconv"]["b"], padding=3)
+    if fused:
+        from simwhisper_codec_tpu.ops.fused_convnext import fused_convnext_ffn
+
+        b, t, c = x.shape
+        out = fused_convnext_ffn(x.reshape(b * t, c), residual.reshape(b * t, c), p)
+        return out.reshape(b, t, c)
     # pointwise chain on a flattened (B*T, C) view — 2-D matmuls tile ~25%
     # better on the MXU than the batched 3-D form (measured; docs/TPU_NOTES.md)
     b, t, c = x.shape
@@ -76,6 +88,7 @@ def vocos_forward(
     lengths: jnp.ndarray,
     frame_valid: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, input_channels) -> waveform (B, T * hop_size), lengths * hop_size.
 
@@ -90,7 +103,7 @@ def vocos_forward(
     x = layer_norm(p["norm"], x, eps=1e-6)
 
     def body(carry, bp):
-        return convnext_block(bp, carry, mask, precision), None
+        return convnext_block(bp, carry, mask, precision, fused=fused), None
 
     x, _ = jax.lax.scan(body, x, p["blocks"])
     x = layer_norm(p["final_ln"], x, eps=1e-6)

@@ -1,0 +1,105 @@
+"""Fused ConvNeXt pointwise chain as a Pallas TPU kernel.
+
+Fuses LN -> pw1 (C -> I) -> GELU -> pw2 (I -> C) -> layer-scale -> residual
+into one VMEM-resident pass: activations never round-trip to HBM between the
+two matmuls, and both weight matrices stay pinned in VMEM across the M-tile
+grid (C=512, I=4096 bf16 -> ~8 MB, well under the 16 MB budget).
+
+The depthwise k7 conv stays in XLA (shift-FMAs fuse fine there); this kernel
+covers the matmul chain that dominates Vocos (ops/vocos.py) — measured at
+only ~30% MXU utilization as separate XLA matmuls.
+
+Used opt-in (``use_fused_convnext``): Mosaic compiles are 10-100x slower
+through the tunneled backend (docs/TPU_NOTES.md), so the default serving
+path remains pure XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xdw_ref, res_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            gamma_ref, o_ref, *, eps: float):
+    x = xdw_ref[...].astype(jnp.float32)  # (block_m, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(jnp.float32)
+
+    h = jax.lax.dot_general(
+        xn.astype(w1_ref.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    # tanh-approximate GELU: Mosaic lowers neither erf nor erfc; the approximation
+    # error (<3e-3 absolute) is below bf16 activation resolution
+    h3 = h * h * h
+    h = (0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h3)))).astype(w2_ref.dtype)
+
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[...].astype(jnp.float32)
+
+    y = gamma_ref[...].astype(jnp.float32) * y
+    o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
+def fused_convnext_ffn(
+    xdw: jnp.ndarray,
+    residual: jnp.ndarray,
+    p: dict,
+    eps: float = 1e-6,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """xdw/residual: (M, C) flattened post-dwconv input and block input.
+
+    p: ConvNeXt block params ({"norm": {scale,bias}, "pw1"/"pw2": {w,b},
+    "gamma"}).  Returns (M, C).
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    m, c = xdw.shape
+    inter = p["pw1"]["w"].shape[1]
+    m_pad = -(-m // block_m) * block_m
+    if m_pad != m:
+        xdw = jnp.pad(xdw, ((0, m_pad - m), (0, 0)))
+        residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+
+    dtype = xdw.dtype
+    grid = (m_pad // block_m,)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, inter), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inter,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inter, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), dtype),
+        interpret=interpret,
+    )(
+        xdw,
+        residual,
+        p["norm"]["scale"].astype(dtype),
+        p["norm"]["bias"].astype(dtype),
+        p["pw1"]["w"].astype(dtype),
+        p["pw1"]["b"].astype(dtype),
+        p["pw2"]["w"].astype(dtype),
+        p["pw2"]["b"].astype(dtype),
+        p["gamma"].astype(dtype),
+    )
+    return out[:m]

@@ -145,3 +145,28 @@ def test_mdct_imdct_parity():
         np.testing.assert_allclose(X, X_ref, atol=1e-4)
         y = np.asarray(jstft.imdct(consts, jnp.asarray(X)))
         np.testing.assert_allclose(y, y_ref, atol=1e-4)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
+def test_stft_log_mag_phase_parity():
+    add_reference_to_path()
+    from audiocodec.nn.modules import STFT
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 3200)).astype(np.float32) * 0.3
+    for center in (True, False):
+        ref_mod = STFT(n_fft=512, hop_length=128, win_length=512, center=center)
+        with torch.no_grad():
+            lm_ref, ph_ref = ref_mod(torch.from_numpy(x))
+        consts = jstft.make_stft_constants(512, 128, 512, center=center)
+        lm, ph = jstft.stft_log_mag_phase(consts, jnp.asarray(x))
+        # reference returns (B, F, T); ours (B, T, F)
+        lm_np = np.asarray(lm).transpose(0, 2, 1)
+        ph_np = np.asarray(ph).transpose(0, 2, 1)
+        assert lm_np.shape == lm_ref.shape, (center, lm_np.shape, lm_ref.shape)
+        np.testing.assert_allclose(lm_np, lm_ref.numpy(), atol=1e-3)
+        # compare phase via sin/cos (wrap-around safe); skip near-zero magnitude bins
+        mask = lm_ref.numpy() > -6
+        np.testing.assert_allclose(
+            np.cos(ph_np)[mask], np.cos(ph_ref.numpy())[mask], atol=1e-2
+        )
