@@ -42,8 +42,8 @@ def main() -> None:
     prec = jax.lax.Precision.DEFAULT
 
     attn = "chunked:1536:bf16"  # MXU-aligned; see models/transformer.py::chunked_attention
-    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn))
-    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn, fused_vocos=True))
+    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn, fused_ffn=True))
+    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn, fused_vocos=True, fused_ffn=True))
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)

@@ -61,6 +61,7 @@ def tokenize(
     sample_lengths: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
+    fused_ffn: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """wav (B, chunk_samples) + lengths -> codes. Mirrors inference_tokenize.
 
@@ -74,7 +75,7 @@ def tokenize(
 
     enc, enc_len = transformer.encoder_forward(
         cfg.acoustic_encoder, params["encoder"], feats, mel_lens, precision=precision,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, fused_ffn=fused_ffn,
     )
     z, z_len = sampling.frame_stack_down(cfg.downsample, consts.af, params["downsample"], enc, enc_len)
     zq, codes = fsq.group_fsq_forward(consts.fsq, z.astype(jnp.float32), z_len)
@@ -91,6 +92,7 @@ def detokenize(
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
     fused_vocos: bool = False,
+    fused_ffn: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """codes (G, B, Tc) -> waveform. Mirrors inference_detokenize.
 
@@ -103,7 +105,7 @@ def detokenize(
     up, up_len = sampling.frame_stack_up(cfg.upsample, consts.af, params["upsample"], zq, code_lengths)
     dec, dec_len = transformer.decoder_forward(
         cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, fused_ffn=fused_ffn,
     )
     frame_valid = None
     if code_frame_valid is not None:
@@ -212,12 +214,14 @@ class AudioCodec:
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
 
+        fused = mode == "fast"
         self._tokenize = jax.jit(
-            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl)
+            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                    fused_ffn=fused)
         )
         self._detokenize = jax.jit(
             partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                    fused_vocos=(mode == "fast"))
+                    fused_vocos=fused, fused_ffn=fused)
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----

@@ -160,6 +160,7 @@ def transformer_layer(
     precision=jax.lax.Precision.HIGHEST,
     lengths: Optional[jnp.ndarray] = None,
     attn_impl: str = "dense",
+    fused_ffn: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN block: LN->attn->res, LN->fc1->gelu->fc2->res (modules.py:214-232)."""
     h = layer_norm(p["attn_ln"], x)
@@ -176,13 +177,25 @@ def transformer_layer(
         )
     else:
         x = x + varlen_attention(p, h, bias, num_heads, precision)
-    # FFN on a flattened (B*T, D) view (2-D matmuls tile better on the MXU)
     b, t, d = x.shape
-    h = layer_norm(p["final_ln"], x).reshape(b * t, d)
-    h = jnp.matmul(h, p["fc1"]["w"].astype(x.dtype), precision=precision) + p["fc1"]["b"].astype(x.dtype)
-    h = jax.nn.gelu(h, approximate=False)
-    h = jnp.matmul(h, p["fc2"]["w"].astype(x.dtype), precision=precision) + p["fc2"]["b"].astype(x.dtype)
-    x = x + h.reshape(b, t, d)
+    if fused_ffn:
+        # whole FFN sublayer as one Pallas kernel (serving path; tanh-GELU)
+        from simwhisper_codec_tpu.ops.fused_convnext import fused_ln_ffn
+
+        xf = x.reshape(b * t, d)
+        x = fused_ln_ffn(
+            xf, xf,
+            p["final_ln"]["scale"], p["final_ln"]["bias"],
+            p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+            eps=1e-5,
+        ).reshape(b, t, d)
+    else:
+        # FFN on a flattened (B*T, D) view (2-D matmuls tile better on the MXU)
+        h = layer_norm(p["final_ln"], x).reshape(b * t, d)
+        h = jnp.matmul(h, p["fc1"]["w"].astype(x.dtype), precision=precision) + p["fc1"]["b"].astype(x.dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = jnp.matmul(h, p["fc2"]["w"].astype(x.dtype), precision=precision) + p["fc2"]["b"].astype(x.dtype)
+        x = x + h.reshape(b, t, d)
     if x.dtype in (jnp.float16, jnp.bfloat16):
         # half-precision inf/nan clamp (modules.py:228-231)
         clamp = float(jnp.finfo(x.dtype).max) - 1000.0
@@ -200,6 +213,7 @@ def run_layers(
     collect: bool = False,
     lengths: Optional[jnp.ndarray] = None,
     attn_impl: str = "dense",
+    fused_ffn: bool = False,
 ):
     """Scan the transformer stack (stacked params with leading layer axis).
 
@@ -209,7 +223,9 @@ def run_layers(
     """
 
     def body(carry, lp):
-        out = transformer_layer(lp, carry, bias, num_heads, precision, lengths, attn_impl)
+        out = transformer_layer(
+            lp, carry, bias, num_heads, precision, lengths, attn_impl, fused_ffn
+        )
         return out, (out if collect else None)
 
     out, ys = jax.lax.scan(body, x, stacked)
@@ -231,6 +247,7 @@ def encoder_forward(
     precision=jax.lax.Precision.HIGHEST,
     output_hidden_states: bool = False,
     attn_impl: str = "dense",
+    fused_ffn: bool = False,
 ):
     """OmniAudioEncoder forward (modules.py:287-376).
 
@@ -261,7 +278,7 @@ def encoder_forward(
     if not output_hidden_states:
         x = run_layers(
             p["layers"], x, bias, cfg.encoder_attention_heads, precision,
-            lengths=out_lengths, attn_impl=attn_impl,
+            lengths=out_lengths, attn_impl=attn_impl, fused_ffn=fused_ffn,
         )
         x = layer_norm(p["ln"], x)
         x = jnp.where(seq_mask(out_lengths, t), x, 0)
@@ -289,6 +306,7 @@ def decoder_forward(
     lengths: jnp.ndarray,
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
+    fused_ffn: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """OmniAudioDecoder forward (modules.py:437-474).
 
@@ -300,7 +318,7 @@ def decoder_forward(
     bias = None if attn_impl != "dense" else attention_bias(lengths, t, causal=False)
     x = run_layers(
         p["layers"], h, bias, cfg.decoder_attention_heads, precision,
-        lengths=lengths, attn_impl=attn_impl,
+        lengths=lengths, attn_impl=attn_impl, fused_ffn=fused_ffn,
     )
     x = layer_norm(p["ln"], x)
     x = jnp.where(seq_mask(lengths, t), x, 0)

@@ -49,29 +49,37 @@ def _kernel(xdw_ref, res_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref
     o_ref[...] = (res_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
-def fused_convnext_ffn(
-    xdw: jnp.ndarray,
+def fused_ln_ffn(
+    x: jnp.ndarray,
     residual: jnp.ndarray,
-    p: dict,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    gamma: jnp.ndarray = None,
     eps: float = 1e-6,
     block_m: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """xdw/residual: (M, C) flattened post-dwconv input and block input.
+    """Fused residual + gamma*(LN(x) @ w1 -> GELU -> @ w2) over (M, C) inputs.
 
-    p: ConvNeXt block params ({"norm": {scale,bias}, "pw1"/"pw2": {w,b},
-    "gamma"}).  Returns (M, C).
+    Covers both ConvNeXt pointwise chains (gamma = layer scale) and
+    transformer FFN sublayers (gamma = ones).  Returns (M, C).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
-    m, c = xdw.shape
-    inter = p["pw1"]["w"].shape[1]
+    m, c = x.shape
+    inter = w1.shape[1]
     m_pad = -(-m // block_m) * block_m
     if m_pad != m:
-        xdw = jnp.pad(xdw, ((0, m_pad - m), (0, 0)))
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
         residual = jnp.pad(residual, ((0, m_pad - m), (0, 0)))
+    if gamma is None:
+        gamma = jnp.ones((c,), x.dtype)
 
-    dtype = xdw.dtype
+    dtype = x.dtype
     grid = (m_pad // block_m,)
 
     out = pl.pallas_call(
@@ -92,14 +100,31 @@ def fused_convnext_ffn(
         out_shape=jax.ShapeDtypeStruct((m_pad, c), dtype),
         interpret=interpret,
     )(
-        xdw,
+        x,
         residual,
-        p["norm"]["scale"].astype(dtype),
-        p["norm"]["bias"].astype(dtype),
-        p["pw1"]["w"].astype(dtype),
-        p["pw1"]["b"].astype(dtype),
-        p["pw2"]["w"].astype(dtype),
-        p["pw2"]["b"].astype(dtype),
-        p["gamma"].astype(dtype),
+        ln_scale.astype(dtype),
+        ln_bias.astype(dtype),
+        w1.astype(dtype),
+        b1.astype(dtype),
+        w2.astype(dtype),
+        b2.astype(dtype),
+        gamma.astype(dtype),
     )
     return out[:m]
+
+
+def fused_convnext_ffn(
+    xdw: jnp.ndarray,
+    residual: jnp.ndarray,
+    p: dict,
+    eps: float = 1e-6,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ConvNeXt-block wrapper over fused_ln_ffn (p: norm/pw1/pw2/gamma)."""
+    return fused_ln_ffn(
+        xdw, residual,
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pw1"]["w"], p["pw1"]["b"], p["pw2"]["w"], p["pw2"]["b"],
+        p["gamma"], eps=eps, block_m=block_m, interpret=interpret,
+    )
