@@ -1,0 +1,72 @@
+"""Fused Pallas LN->FFN->residual kernel: correctness in interpret mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simwhisper_codec_tpu.models.transformer import layer_norm
+from simwhisper_codec_tpu.ops.fused_convnext import fused_convnext_ffn, fused_ln_ffn
+
+
+def make_params(rng, c, inter):
+    return {
+        "norm": {
+            "scale": jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32),
+            "bias": jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32),
+        },
+        "pw1": {
+            "w": jnp.asarray(rng.standard_normal((c, inter)) * 0.05, jnp.float32),
+            "b": jnp.asarray(rng.standard_normal(inter) * 0.05, jnp.float32),
+        },
+        "pw2": {
+            "w": jnp.asarray(rng.standard_normal((inter, c)) * 0.05, jnp.float32),
+            "b": jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32),
+        },
+        "gamma": jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32),
+    }
+
+
+def reference_chain(p, xdw, res, gamma=True):
+    x = layer_norm(p["norm"], xdw, eps=1e-6)
+    x = x @ p["pw1"]["w"] + p["pw1"]["b"]
+    # the kernel uses tanh-GELU (Mosaic lowers neither erf nor erfc)
+    x = jax.nn.gelu(x, approximate=True)
+    x = x @ p["pw2"]["w"] + p["pw2"]["b"]
+    if gamma:
+        x = p["gamma"] * x
+    return res + x
+
+
+def test_fused_convnext_matches_chain():
+    rng = np.random.default_rng(0)
+    c, inter, m = 64, 256, 300  # m not a block multiple -> exercises padding
+    p = make_params(rng, c, inter)
+    xdw = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    out = fused_convnext_ffn(xdw, res, p, block_m=128)
+    ref = reference_chain(p, xdw, res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ln_ffn_no_gamma():
+    rng = np.random.default_rng(1)
+    c, inter, m = 64, 128, 256
+    p = make_params(rng, c, inter)
+    x = jnp.asarray(rng.standard_normal((m, c)), jnp.float32)
+    out = fused_ln_ffn(
+        x, x, p["norm"]["scale"], p["norm"]["bias"],
+        p["pw1"]["w"], p["pw1"]["b"], p["pw2"]["w"], p["pw2"]["b"],
+        eps=1e-6, block_m=128,
+    )
+    ref = reference_chain({**p, "gamma": jnp.ones(c)}, x, x, gamma=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tanh_gelu_deviation_is_small():
+    """The kernel's tanh-GELU vs exact GELU: below bf16 resolution."""
+    x = jnp.linspace(-6, 6, 1001)
+    exact = jax.nn.gelu(x, approximate=False)
+    approx = jax.nn.gelu(x, approximate=True)
+    assert float(jnp.abs(exact - approx).max()) < 3e-3
