@@ -214,7 +214,9 @@ class AudioCodec:
             "default": jax.lax.Precision.DEFAULT,
         }[precision]
 
-        fused = mode == "fast"
+        # fused Pallas kernels only where Mosaic compiles them; the CPU
+        # backend would fall back to the (slow) interpreter
+        fused = mode == "fast" and jax.default_backend() != "cpu"
         self._tokenize = jax.jit(
             partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
                     fused_ffn=fused)
