@@ -32,9 +32,9 @@ NEG_BIG = float(np.finfo(np.float32).min)
 
 
 def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int, block_q: int):
-    bh = pl.program_id(0)
-    b = bh // heads
-    seq_len = len_ref[b]
+    # lengths live in SMEM as a full (B*H, 1) block: scalar-prefetch grids
+    # (PrefetchScalarGridSpec) compile ~100x slower through Mosaic here
+    seq_len = len_ref[pl.program_id(0), 0]
 
     q = q_ref[0]  # (block_q, D), already scaled by head_dim**-0.5
     k = k_ref[0]  # (T, D)
@@ -86,22 +86,21 @@ def flash_attention(
 
     grid = (b * h, t_pad // block_q)
     kernel = functools.partial(_attn_kernel, heads=h, block_q=block_q)
+    lens_bh = jnp.repeat(lengths.astype(jnp.int32), h).reshape(b * h, 1)
 
     out = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, i, lens: (bh, i, 0)),
-                pl.BlockSpec((1, t_pad, d), lambda bh, i, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, t_pad, d), lambda bh, i, lens: (bh, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, lens: (bh, i, 0)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b * h, 1), lambda bh, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qf, kf, vf)
+    )(lens_bh, qf, kf, vf)
 
     return out.reshape(b, h, t_pad, d)[:, :, :t, :]
 
