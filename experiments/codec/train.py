@@ -30,7 +30,7 @@ from simwhisper_codec_tpu.models.codec import CodecConstants, init_params
 from simwhisper_codec_tpu.models.hifigan import init_discriminator
 from simwhisper_codec_tpu.ops import mel as mel_ops
 from simwhisper_codec_tpu.train import codec_gan
-from simwhisper_codec_tpu.train.gan import make_mel_loss_constants
+from simwhisper_codec_tpu.train.gan import make_mel_loss_constants, mel_loss_arrays
 from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio, save_audio, set_logging
 from simwhisper_codec_tpu.utils.checkpoint import load_orbax, save_orbax
 from simwhisper_codec_tpu.utils.params import format_param_report
@@ -131,6 +131,7 @@ def main(argv=None) -> None:
         logger.info("resumed from %s at step %d", args.resume, int(state.step))
 
     step_fn = jax.jit(codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx))
+    mel_arrays = mel_loss_arrays(mel_consts)
 
     data_sharding = None
     if args.data_parallel and len(jax.devices()) > 1:
@@ -166,7 +167,7 @@ def main(argv=None) -> None:
         }
         if data_sharding is not None:
             batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, batch, mel_arrays)
         if step % args.log_every == 0 or step == args.steps:
             rec = {k: float(v) for k, v in metrics.items()}
             rec.update({"step": step, "time": round(time.time() - t0, 1)})

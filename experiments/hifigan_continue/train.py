@@ -139,6 +139,7 @@ def main(argv=None) -> None:
         g_params, d_params, g_tx.init(g_params), d_tx.init(d_params), jnp.zeros((), jnp.int32)
     )
     mel_consts = gan.make_mel_loss_constants(sample_rate=args.sample_rate)
+    mel_arrays = gan.mel_loss_arrays(mel_consts)
     step = jax.jit(gan.make_gan_train_step(gcfg, mel_consts, g_tx, d_tx))
 
     ckpt_dir = out / "checkpoints"
@@ -150,7 +151,7 @@ def main(argv=None) -> None:
             train_manifest, feature_dir, args.batch_size, args.segment_size,
             args.feature_hop, rng, args.sample_rate,
         ):
-            state, metrics = step(state, batch)
+            state, metrics = step(state, batch, mel_arrays)
             g_loss_sum += float(metrics["g_loss"])
             n_batches += 1
         state = gan.decay_learning_rate(state, args.lr_gamma)

@@ -18,7 +18,13 @@ import jax
 import numpy as np
 
 from simwhisper_codec_tpu.models.codec import AudioCodec
-from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio, save_audio
+from simwhisper_codec_tpu.ops.fsq import bits_per_frame
+from simwhisper_codec_tpu.utils.audio_io import (
+    find_audio_files,
+    load_audio,
+    probe_audio_length,
+    save_audio,
+)
 from simwhisper_codec_tpu.utils.data import length_bucket_batches, shard_files_by_process
 
 logger = logging.getLogger(__name__)
@@ -32,7 +38,13 @@ def evaluate_corpus(
     overlap_seconds: int = 10,
     limit: Optional[int] = None,
 ) -> dict:
-    """Encode+decode every file; returns throughput stats (and writes WAVs)."""
+    """Encode+decode every file; returns throughput stats (and writes WAVs).
+
+    Per-file failures (corrupt/undecodable audio) are logged and skipped, as
+    in the reference eval loops (``evaluate_model.py:128-141``,
+    ``extract_code.py:186-215``); only one batch of audio is resident at a
+    time (lengths come from a header probe).
+    """
     paths = shard_files_by_process(
         find_audio_files(input_dir), jax.process_index(), jax.process_count()
     )
@@ -41,31 +53,54 @@ def evaluate_corpus(
     if output_dir:
         Path(output_dir).mkdir(parents=True, exist_ok=True)
 
-    wavs = [load_audio(p, target_sample_rate=codec.input_sample_rate) for p in paths]
-    lengths = [len(w) for w in wavs]
+    lengths, good_paths, errors = [], [], []
+    for p in paths:
+        try:
+            lengths.append(probe_audio_length(p, codec.input_sample_rate))
+            good_paths.append(p)
+        except Exception as e:  # corrupt header/file: skip, keep evaluating
+            logger.warning("skipping unreadable file %s: %s", p, e)
+            errors.append(str(p))
+    paths = good_paths
     batches = length_bucket_batches(lengths, batch_size)
 
-    total_audio_seconds = sum(lengths) / codec.input_sample_rate
+    total_audio_seconds = 0.0
     codes_total = 0
+    files_done = 0
     t0 = time.perf_counter()
     for batch_idx in batches:
-        batch_wavs = [wavs[i] for i in batch_idx]
+        batch_wavs, kept_idx = [], []
+        for i in batch_idx:
+            try:
+                batch_wavs.append(load_audio(paths[i], target_sample_rate=codec.input_sample_rate))
+                kept_idx.append(i)
+            except Exception as e:  # decode failure mid-corpus: skip the file
+                logger.warning("skipping undecodable file %s: %s", paths[i], e)
+                errors.append(str(paths[i]))
+        if not batch_wavs:
+            continue
         enc = codec.encode(batch_wavs, overlap_seconds=overlap_seconds)
         dec = codec.decode(enc["codes_list"], overlap_seconds=overlap_seconds)
+        total_audio_seconds += sum(len(w) for w in batch_wavs) / codec.input_sample_rate
         codes_total += sum(c.shape[-1] for c in enc["codes_list"])
+        files_done += len(batch_wavs)
         if output_dir:
-            for i, syn in zip(batch_idx, dec["syn_wav_list"]):
+            for i, syn in zip(kept_idx, dec["syn_wav_list"]):
                 out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
                 save_audio(out_path, np.asarray(syn), codec.output_sample_rate)
     elapsed = time.perf_counter() - t0
 
+    frame_bits = bits_per_frame(codec.cfg.quantizer)  # 8 groups x log2(8*7*6*6) for the published config
     stats = {
-        "files": len(paths),
+        "files": files_done,
+        "skipped": len(errors),
         "audio_seconds": round(total_audio_seconds, 2),
         "wall_seconds": round(elapsed, 2),
         "x_realtime": round(total_audio_seconds / max(elapsed, 1e-9), 2),
-        "bitrate_bps": round(codes_total * 8 * np.log2(2016) / max(total_audio_seconds, 1e-9), 1),
+        "bitrate_bps": round(codes_total * frame_bits / max(total_audio_seconds, 1e-9), 1),
         "num_batches": len(batches),
     }
+    if errors:
+        stats["skipped_files"] = errors
     logger.info("corpus eval: %s", json.dumps(stats))
     return stats

@@ -217,13 +217,31 @@ class AudioCodec:
         # fused Pallas kernels only where Mosaic compiles them; the CPU
         # backend would fall back to the (slow) interpreter
         fused = mode == "fast" and jax.default_backend() != "cpu"
+        # trace_counts[name] increments each time jit (re)traces that program:
+        # the public observability hook for "how many executables exist"
+        # (fixed-shape padding should keep it at 1 per direction)
+        self.trace_counts = {"tokenize": 0, "detokenize": 0}
+
+        def _counted(name, fn):
+            def wrapped(*args, **kwargs):
+                self.trace_counts[name] += 1  # runs at trace time only
+                return fn(*args, **kwargs)
+
+            return wrapped
+
         self._tokenize = jax.jit(
-            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                    fused_ffn=fused)
+            _counted(
+                "tokenize",
+                partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                        fused_ffn=fused),
+            )
         )
         self._detokenize = jax.jit(
-            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                    fused_vocos=fused, fused_ffn=fused)
+            _counted(
+                "detokenize",
+                partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                        fused_vocos=fused, fused_ffn=fused),
+            )
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----

@@ -30,6 +30,13 @@ def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
     n = n_devices or len(devices)
     if n % model_axis != 0:
         raise ValueError(f"n_devices {n} not divisible by model_axis {model_axis}")
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh needs {n} devices but only {len(devices)} are visible "
+            f"({devices[0].platform}); on a single-chip host, bootstrap a virtual CPU "
+            "platform first (XLA_FLAGS=--xla_force_host_platform_device_count=N in a "
+            "fresh process — see __graft_entry__.dryrun_multichip)"
+        )
     arr = np.array(devices[:n]).reshape(n // model_axis, model_axis)
     return Mesh(arr, ("data", "model"))
 

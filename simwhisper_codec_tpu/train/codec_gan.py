@@ -21,10 +21,12 @@ from simwhisper_codec_tpu.config import CodecConfig
 from simwhisper_codec_tpu.models.codec import CodecConstants, training_forward
 from simwhisper_codec_tpu.models.hifigan import discriminator_forward
 from simwhisper_codec_tpu.train.gan import (
+    MelLossArrays,
     MelLossConstants,
     feature_match_loss,
     log_mel_for_loss,
     make_mel_loss_constants,
+    mel_loss_arrays,
     mse_d_loss,
     mse_g_loss,
 )
@@ -61,7 +63,10 @@ def make_codec_gan_step(
     feat_match_weight: float = 10.0,
     mel_weight: float = 45.0,
 ):
-    """(state, batch) -> (state, metrics); batch has mel/mel_lens/audio/audio_lens."""
+    """(state, batch, mel_arrays) -> (state, metrics); batch has
+    mel/mel_lens/audio/audio_lens.  ``mel_arrays = mel_loss_arrays(mel_consts)``
+    is a jit argument so the loss DFT bases are not inlined into the HLO
+    (TPU_NOTES quirk #4 — the tunnel 413s large constant-heavy programs)."""
 
     def fwd(params, batch):
         out = training_forward(cfg, consts, params, batch["mel"], batch["mel_lens"])
@@ -69,7 +74,9 @@ def make_codec_gan_step(
         t = min(recon.shape[-1], batch["audio"].shape[-1])
         return recon[..., :t], batch["audio"][..., :t]
 
-    def step(state: CodecGanState, batch) -> Tuple[CodecGanState, Dict[str, jnp.ndarray]]:
+    def step(
+        state: CodecGanState, batch, mel_arrays: MelLossArrays
+    ) -> Tuple[CodecGanState, Dict[str, jnp.ndarray]]:
         fake, real = fwd(state.params, batch)
         fake_sg = jax.lax.stop_gradient(fake)
 
@@ -90,7 +97,10 @@ def make_codec_gan_step(
             adv = mse_g_loss(sf)
             fm = feature_match_loss(fr, ff)
             mel_l1 = jnp.mean(
-                jnp.abs(log_mel_for_loss(mel_consts, y_hat) - log_mel_for_loss(mel_consts, target))
+                jnp.abs(
+                    log_mel_for_loss(mel_consts, y_hat, mel_arrays)
+                    - log_mel_for_loss(mel_consts, target, mel_arrays)
+                )
             )
             total = adv_weight * adv + feat_match_weight * fm + mel_weight * mel_l1
             return total, {"adv": adv, "feat_match": fm, "mel_l1": mel_l1}

@@ -37,6 +37,28 @@ class MelLossConstants(NamedTuple):
     hop: int
 
 
+class MelLossArrays(NamedTuple):
+    """The array-only view of MelLossConstants, passed as a jit ARGUMENT.
+
+    The DFT bases are ~0.5 MB each; closing over them inside a traced loss
+    inlines them as HLO constants, which the axon tunnel rejects for large
+    programs (docs/TPU_NOTES.md quirk #4: HTTP 413).  Passing them as
+    arguments keeps the HLO small and lets XLA keep one device copy.
+    """
+
+    basis_re: jnp.ndarray
+    basis_im: jnp.ndarray
+    mel_fb: jnp.ndarray
+
+
+def mel_loss_arrays(consts: MelLossConstants) -> MelLossArrays:
+    return MelLossArrays(
+        jnp.asarray(consts.basis_re),
+        jnp.asarray(consts.basis_im),
+        jnp.asarray(consts.mel_fb),
+    )
+
+
 def make_mel_loss_constants(
     sample_rate: int = 16000, n_fft: int = 1024, win: int = 1024, hop: int = 256,
     n_mels: int = 80, f_min: float = 0.0, f_max: float = None,
@@ -62,14 +84,23 @@ def make_mel_loss_constants(
     )
 
 
-def log_mel_for_loss(consts: MelLossConstants, wav: jnp.ndarray) -> jnp.ndarray:
-    """(B, S) -> (B, T, n_mels) log(clamp(mel(|STFT|), 1e-5)) (dynamic range compression)."""
+def log_mel_for_loss(
+    consts: MelLossConstants, wav: jnp.ndarray, arrays: MelLossArrays = None
+) -> jnp.ndarray:
+    """(B, S) -> (B, T, n_mels) log(clamp(mel(|STFT|), 1e-5)) (dynamic range compression).
+
+    ``arrays`` should be passed through the enclosing jit's arguments; when
+    omitted the bases are materialized from ``consts`` (inlined as constants —
+    fine for eager/small uses, avoid inside large jitted programs).
+    """
+    if arrays is None:
+        arrays = mel_loss_arrays(consts)
     n_frames = wav.shape[-1] // consts.hop + 1
     frames = frame_signal(wav, consts.n_fft, consts.hop, n_frames)
-    re = frames @ jnp.asarray(consts.basis_re)
-    im = frames @ jnp.asarray(consts.basis_im)
+    re = frames @ arrays.basis_re
+    im = frames @ arrays.basis_im
     mag = jnp.sqrt(re * re + im * im + 1e-12)
-    mel = mag @ jnp.asarray(consts.mel_fb)
+    mel = mag @ arrays.mel_fb
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
@@ -121,9 +152,16 @@ def make_gan_train_step(
     feat_match_weight: float = 10.0,
     l1_spec_weight: float = 45.0,
 ):
-    """One jitted program: G fwd -> D step (detached fake) -> fresh scores -> G step."""
+    """One jitted program: G fwd -> D step (detached fake) -> fresh scores -> G step.
 
-    def step(state: GanTrainState, batch) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
+    The returned step takes ``(state, batch, mel_arrays)`` — pass
+    ``mel_loss_arrays(mel_consts)`` so the DFT bases travel as arguments
+    rather than HLO constants (TPU_NOTES quirk #4).
+    """
+
+    def step(
+        state: GanTrainState, batch, mel_arrays: MelLossArrays
+    ) -> Tuple[GanTrainState, Dict[str, jnp.ndarray]]:
         feats, audio = batch["features"], batch["audio"]  # (B,T,C), (B,S)
 
         fake = generator_forward(gcfg, state.g_params, feats)
@@ -148,7 +186,10 @@ def make_gan_train_step(
             adv = mse_g_loss(scores_fake)
             fm = feature_match_loss(feats_real, feats_fake)
             l1_spec = jnp.mean(
-                jnp.abs(log_mel_for_loss(mel_consts, y_hat) - log_mel_for_loss(mel_consts, audio))
+                jnp.abs(
+                    log_mel_for_loss(mel_consts, y_hat, mel_arrays)
+                    - log_mel_for_loss(mel_consts, audio, mel_arrays)
+                )
             )
             total = mseg_weight * adv + feat_match_weight * fm + l1_spec_weight * l1_spec
             return total, {"adv": adv, "feat_match": fm, "l1_spec": l1_spec}

@@ -90,6 +90,30 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
     return resample(data.astype(np.float32), sr, target_sample_rate)
 
 
+def probe_audio_length(path: str, target_sample_rate: int = 16000) -> int:
+    """Length (samples at target rate) without decoding when possible.
+
+    WAV headers carry frame count + rate, so corpus-scale length bucketing
+    does not need the whole corpus resident in RAM (reference loads per file,
+    ``evaluate_model.py:128-141``); other formats fall back to a full decode.
+    """
+    path = str(path)
+    if path.lower().endswith(".wav"):
+        try:
+            with wave.open(path, "rb") as f:
+                n, sr = f.getnframes(), f.getframerate()
+            if sr == target_sample_rate:
+                return n
+            from math import gcd
+
+            g = gcd(sr, target_sample_rate)
+            # matches scipy.signal.resample_poly's output length
+            return -(-n * (target_sample_rate // g) // (sr // g))
+        except Exception:
+            pass
+    return len(load_audio(path, target_sample_rate))
+
+
 def save_audio(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
     """Save 16-bit PCM WAV (helpers.py:95-103: PCM_S, bits 16)."""
     wav = np.asarray(wav, np.float32).reshape(-1)

@@ -210,9 +210,42 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: CodecConfig) -> dict:
     }
 
 
-def load_codec_params(ckpt_path: str, cfg: CodecConfig) -> dict:
-    """One-call loader: torch .pt -> params pytree (numpy leaves)."""
-    return convert_state_dict(load_torch_state_dict(ckpt_path), cfg)
+def param_checksum_report(params: dict) -> str:
+    """Per-tensor integrity report: path, shape, mean/std, and a checksum.
+
+    Emitted on checkpoint load so parity against the published
+    ``SimWhisperCodec.pt`` is a one-command check (compare reports between
+    hosts/frameworks; reference load: model.py:375-396).
+    """
+    import jax
+
+    lines = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        a = np.asarray(leaf, np.float64)
+        crc = np.uint32(
+            np.bitwise_xor.reduce(np.frombuffer(np.asarray(leaf, np.float32).tobytes(), np.uint32))
+        ) if a.size else np.uint32(0)
+        lines.append(
+            f"{jax.tree_util.keystr(path):64s} {str(list(np.shape(leaf))):20s} "
+            f"mean={a.mean() if a.size else 0.0:+.6e} std={a.std() if a.size else 0.0:.6e} "
+            f"xor32={int(crc):08x}"
+        )
+    return "\n".join(lines)
+
+
+def load_codec_params(ckpt_path: str, cfg: CodecConfig, report: bool = True) -> dict:
+    """One-call loader: torch .pt -> params pytree (numpy leaves).
+
+    Logs the per-tensor checksum report (INFO) unless ``report=False``.
+    """
+    params = convert_state_dict(load_torch_state_dict(ckpt_path), cfg)
+    if report:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "checkpoint %s tensor report:\n%s", ckpt_path, param_checksum_report(params)
+        )
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -124,15 +124,15 @@ def test_fixed_batch_compilation(models, wavs):
     """Small/tail batches pad to batch_size: one executable per direction."""
     _, ours = models
     rng = np.random.default_rng(5)
-    before = ours._tokenize._cache_size()
-    for n in ([1, 2, 3] if before == 0 else [1, 2, 3]):
+    before = ours.trace_counts["tokenize"]
+    for n in [1, 2, 3]:
         batch = [(rng.standard_normal(20000) * 0.1).astype(np.float32) for _ in range(n)]
         enc = ours.encode(batch, overlap_seconds=10)
         assert len(enc["codes_list"]) == n
         ours.decode(enc["codes_list"], overlap_seconds=10)
     # batches of size 1, 2, 3 (all < batch_size=8) share one compiled program
-    assert ours._tokenize._cache_size() == max(before, 1)
-    assert ours._detokenize._cache_size() >= 1
+    assert ours.trace_counts["tokenize"] == max(before, 1)
+    assert ours.trace_counts["detokenize"] >= 1
 
 
 def test_sub_frame_utterance(models):

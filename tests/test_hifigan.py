@@ -47,9 +47,10 @@ def test_gan_train_step_runs_and_improves_spec_loss():
         "features": jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32),
         "audio": jnp.asarray(rng.standard_normal((2, 2560)) * 0.1, jnp.float32),
     }
+    mel_arrays = gan.mel_loss_arrays(mel_consts)
     losses = []
     for _ in range(3):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, batch, mel_arrays)
         losses.append(float(metrics["l1_spec"]))
         for k, v in metrics.items():
             assert np.isfinite(float(v)), f"{k} not finite"

@@ -57,10 +57,44 @@ def test_sharded_tokenize_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out["codes"]), ref_codes)
 
 
+def test_sharded_detokenize_matches_single_device():
+    from simwhisper_codec_tpu.models.codec import detokenize
+
+    cfg = TINY
+    consts = CodecConstants(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal((8, 32000)).astype(np.float32) * 0.1
+    wav = np.pad(wav, ((0, 0), (0, cfg.chunk_samples - 32000)))
+    lengths = np.full((8,), 32000, np.int64)
+    tok = tokenize(cfg, consts, params, jnp.asarray(wav), jnp.asarray(lengths))
+    total = jnp.asarray(cfg.code_frames, jnp.int32)
+
+    ref = detokenize(cfg, consts, params, tok["codes"], tok["codes_lengths"], total)
+    ref_y = np.asarray(ref["y"])
+
+    mesh = pmesh.make_mesh(8, model_axis=2)
+    sharded_params = pmesh.shard_params(params, mesh)
+    codes_s = jax.device_put(tok["codes"], NamedSharding(mesh, P(None, "data")))
+    lens_s = jax.device_put(tok["codes_lengths"], pmesh.batch_sharding(mesh))
+
+    fn = jax.jit(lambda p, c, l: detokenize(cfg, consts, p, c, l, total))
+    out = fn(sharded_params, codes_s, lens_s)
+    np.testing.assert_allclose(np.asarray(out["y"]), ref_y, atol=1e-5)
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_model_axis_4():
+    """TP over 4-way sharded heads/FFN (2 data x 4 model) reproduces single-device grads."""
+    import __graft_entry__ as ge
+
+    ge._dryrun_multichip_impl(8, model_axis=4)
 
 
 def test_entry_compiles_tiny():

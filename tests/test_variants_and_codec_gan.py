@@ -121,7 +121,7 @@ def test_codec_gan_step():
     from simwhisper_codec_tpu.models.codec import CodecConstants, init_params
     from simwhisper_codec_tpu.models.hifigan import init_discriminator
     from simwhisper_codec_tpu.train import codec_gan
-    from simwhisper_codec_tpu.train.gan import make_mel_loss_constants
+    from simwhisper_codec_tpu.train.gan import make_mel_loss_constants, mel_loss_arrays
 
     from test_parallel import TINY
 
@@ -143,7 +143,7 @@ def test_codec_gan_step():
         "audio_lens": jnp.full((2,), t_mel * 160, jnp.int32),
     }
     enc_before = jax.tree.leaves(state.params["encoder"])[0].copy()
-    state, metrics = step(state, batch)
+    state, metrics = step(state, batch, mel_loss_arrays(mel_consts))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
     # frozen encoder unchanged, decoder changed
