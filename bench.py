@@ -8,6 +8,11 @@ The reference publishes no speed numbers (SURVEY.md §6); the driver target is
 end-to-end audio-seconds processed per wall-second through the two fixed-shape
 jitted programs (30 s chunks, batch of 8), forcing execution with a scalar
 readback each iteration, and report x-real-time with vs_baseline = value/10.
+
+The JSON line also carries MFU accounting (utils/flops.py — analytic
+multiply-add ledger over the SURVEY §0 shape chain): flops_per_audio_sec,
+achieved TFLOP/s, and mfu vs the chip's published bf16 peak (0 when the
+device kind is unknown; override with BENCH_PEAK_TFLOPS).
 """
 
 from __future__ import annotations
@@ -66,6 +71,14 @@ def main() -> None:
 
     audio_seconds = iters * batch * (n_samples / cfg.input_sample_rate)
     x_realtime = audio_seconds / elapsed
+
+    from simwhisper_codec_tpu.utils.flops import codec_flops, peak_tflops
+
+    ledger = codec_flops(cfg)
+    flops_per_audio_sec = ledger["total"] / (n_samples / cfg.input_sample_rate)
+    achieved_tflops = flops_per_audio_sec * x_realtime / 1e12
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 0)) or peak_tflops(jax.devices()[0])
+    mfu = achieved_tflops / peak if peak else 0.0
     print(
         json.dumps(
             {
@@ -73,6 +86,12 @@ def main() -> None:
                 "value": round(x_realtime, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(x_realtime / 10.0, 3),
+                "flops_per_audio_sec": round(flops_per_audio_sec / 1e9, 2),
+                "flops_unit": "GFLOP_per_audio_sec",
+                "achieved_tflops": round(achieved_tflops, 2),
+                "device": jax.devices()[0].device_kind,
+                "peak_tflops_bf16": peak,
+                "mfu": round(mfu, 4),
             }
         )
     )

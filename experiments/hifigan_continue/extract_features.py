@@ -75,7 +75,9 @@ def extract_manifest(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     fingerprint = hashlib.sha256(
-        json.dumps([manifest_path, extractor.layer_id]).encode()
+        json.dumps(
+            [manifest_path, extractor.layer_id, type(extractor).__name__]
+        ).encode()
     ).hexdigest()[:16]
     guard = out / f".extract_{fingerprint}"
     if guard.exists():
@@ -98,31 +100,49 @@ def extract_manifest(
 
 class HubertFeatureExtractor:
     """HuBERT continuous features (the reference's hubert variant, E2 —
-    ``hifigan_continue_hubert/continuous_hubert_ssl.py:19-132``): HF
-    ``HubertModel`` hidden states at a chosen layer, 50 Hz, 768-d.
-
-    Requires the model weights in the local HF cache (zero-egress gating).
+    ``hifigan_continue_hubert/continuous_hubert_ssl.py:19-132``): hidden
+    states at a chosen layer, 50 Hz, 768-d — run natively on the JAX SSL
+    tower (``models/ssl.py``, parity-tested vs HF torch).  Weights convert
+    from the local HF cache (zero-egress gating) or init randomly for
+    pipeline smoke tests.
     """
 
-    def __init__(self, model_name: str = "facebook/hubert-base-ls960", layer_id: int = -1,
-                 local_files_only: bool = True):
-        import torch
-        from transformers import HubertModel
+    def __init__(self, ssl_cfg=None, params: dict = None, layer_id: int = -1,
+                 model_name: str = "facebook/hubert-base-ls960",
+                 allow_random: bool = False, seed: int = 0):
+        from simwhisper_codec_tpu.models.ssl import (
+            hubert_base_config,
+            init_ssl_params,
+            ssl_forward,
+        )
 
-        self.torch = torch
-        self.model = HubertModel.from_pretrained(
-            model_name, local_files_only=local_files_only
-        ).eval()
+        self.cfg = ssl_cfg or hubert_base_config()
+        if params is None:
+            if allow_random:
+                params = init_ssl_params(jax.random.PRNGKey(seed), self.cfg)
+            else:
+                from transformers import HubertModel
+
+                from simwhisper_codec_tpu.utils.ssl_checkpoint import convert_hf_ssl
+
+                hf = HubertModel.from_pretrained(model_name, local_files_only=True)
+                sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+                params = convert_hf_ssl(sd, self.cfg)
+        self.params = jax.device_put(params)
         self.layer_id = layer_id
+        self._fwd = jax.jit(partial(ssl_forward, self.cfg))
 
     def extract(self, wav: np.ndarray) -> np.ndarray:
-        torch = self.torch
-        with torch.no_grad():
-            out = self.model(
-                torch.from_numpy(wav[None, :].astype(np.float32)),
-                output_hidden_states=True,
-            )
-        return out.hidden_states[self.layer_id][0].numpy()
+        """wav (S,) -> features (T, d) at the configured layer (50 Hz)."""
+        n = len(wav)
+        bucket = 4000  # 0.25 s buckets bound the number of compiled programs
+        padded_len = max((n + bucket - 1) // bucket * bucket, bucket)
+        padded = np.zeros((1, padded_len), np.float32)
+        padded[0, :n] = wav
+        out = self._fwd(self.params, jnp.asarray(padded),
+                        jnp.asarray([n], jnp.int32))
+        t = int(out["frame_lengths"][0])
+        return np.asarray(out["hidden_states"][self.layer_id][0, :t, :])
 
 
 def build_encoder_params(
@@ -152,11 +172,24 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--manifest", required=True)
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--feature_type", choices=["whisper", "hubert"], default="whisper",
+                   help="whisper: codec/Whisper encoder features (E3); "
+                        "hubert: HuBERT-base SSL features (E2)")
     p.add_argument("--layer_id", type=int, default=-1)
     p.add_argument("--codec_checkpoint", default=None)
     p.add_argument("--whisper_model", default=None)
+    p.add_argument("--hubert_model", default="facebook/hubert-base-ls960")
     p.add_argument("--allow_random", action="store_true")
     args = p.parse_args()
+
+    if args.feature_type == "hubert":
+        extractor = HubertFeatureExtractor(
+            layer_id=args.layer_id, model_name=args.hubert_model,
+            allow_random=args.allow_random,
+        )
+        extract_manifest(args.manifest, args.out_dir, extractor)
+        print("done")
+        sys.exit(0)
 
     enc_cfg = EncoderConfig()
     params = build_encoder_params(

@@ -98,23 +98,49 @@ def feat_extract_output_length(cfg: SSLConfig, n_samples) -> jnp.ndarray:
     return length
 
 
-def conv_feature_extractor(cfg: SSLConfig, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
-    """(B, S) float32 -> (B, T, conv_dims[-1]) features."""
+def conv_feature_extractor(
+    cfg: SSLConfig, params: dict, wav: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, S) float32 -> (B, T, conv_dims[-1]) features.
+
+    With ``lengths``, valid frames reproduce an exact-length (unpadded) run
+    bit-for-bit in structure: the GroupNorm statistics are computed over valid
+    frames only and pad frames are re-zeroed after each layer.  (The HF
+    frame-length formula guarantees a valid output frame's receptive field
+    never crosses into padding, so masking the *stats* is the only leak.)
+    The reference toolchain always runs unpadded utterances
+    (tools/utmos/utmos.py:49-63, continuous_hubert_ssl.py:19-132); this is
+    what makes right-padded batches equivalent to those runs.
+    """
     x = wav[:, :, None]  # (B, S, 1), channels-last
+    cur = lengths
     for i, (layer, k, s) in enumerate(
         zip(params["conv_layers"], cfg.conv_kernels, cfg.conv_strides)
     ):
         x = conv1d(x, layer["w"], layer.get("b"), stride=s)
+        valid = None
+        if cur is not None:
+            cur = (cur - k) // s + 1
+            valid = (jnp.arange(x.shape[1])[None, :] < cur[:, None])[..., None]
+            x = x * valid.astype(x.dtype)
         if cfg.extract_norm == "group" and i == 0:
-            # GroupNorm(groups == channels): per-channel norm over time
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            var = jnp.var(x, axis=1, keepdims=True)
+            # GroupNorm(groups == channels): per-channel norm over (valid) time
+            if valid is None:
+                mean = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.var(x, axis=1, keepdims=True)
+            else:
+                cnt = jnp.maximum(cur[:, None, None].astype(jnp.float32), 1.0)
+                mean = jnp.sum(x, axis=1, keepdims=True) / cnt
+                var = jnp.sum(jnp.square(x - mean) * valid, axis=1, keepdims=True) / cnt
             x = (x - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
             x = x * layer["norm_scale"] + layer["norm_bias"]
         elif cfg.extract_norm == "layer":
             x = _layer_norm({"scale": layer["norm_scale"], "bias": layer["norm_bias"]}, x,
                             cfg.layer_norm_eps)
         x = _gelu(x)
+        if valid is not None:
+            x = x * valid.astype(x.dtype)  # norm/bias leak garbage into pads
     return x
 
 
@@ -235,8 +261,12 @@ def encoder_forward(
     pos_bias = None
     if cfg.rel_pos_bias:
         buckets = _relative_position_buckets(cfg, t)
-        # (t, t, H) -> (H, t, t)
-        pos_bias = jnp.transpose(params["rel_attn_embed"][jnp.asarray(buckets)], (2, 0, 1))
+        # (t, t, H) -> (H, t, t); keep the table a jnp array — checkpoint
+        # converters hand back numpy, and numpy fancy-indexed by a traced
+        # index would call __array__ under jit
+        pos_bias = jnp.transpose(
+            jnp.asarray(params["rel_attn_embed"])[buckets], (2, 0, 1)
+        )
 
     def layer_step(h, lp):
         if cfg.pre_ln:
@@ -271,9 +301,11 @@ def ssl_forward(
     Equivalent to HF ``Wav2Vec2Model/HubertModel/WavLMModel.forward`` with
     ``output_hidden_states=True`` (minus dropout, eval mode), and to fairseq's
     ``w2v_model(wav, mask=False, features_only=True)["x"]`` for the base
-    config.
+    config.  With ``lengths``, valid frames match an exact-length run (see
+    ``conv_feature_extractor``), not HF's masked-batch semantics (HF leaves
+    the GroupNorm stats unmasked).
     """
-    feats = conv_feature_extractor(cfg, params, wav)
+    feats = conv_feature_extractor(cfg, params, wav, lengths)
     feats = _layer_norm(params["feat_ln"], feats, cfg.layer_norm_eps)
     x = feats @ params["feat_proj"]["w"] + params["feat_proj"]["b"]
     frame_lengths = None

@@ -167,3 +167,70 @@ def convert_fairseq_wav2vec2(sd: Dict[str, np.ndarray], cfg: SSLConfig, prefix: 
         "encoder_ln": _ln(sd, key("encoder.layer_norm")),
         "layers": _stack(layers),
     }
+
+
+def convert_msft_wavlm(sd: Dict[str, np.ndarray], cfg: SSLConfig, prefix: str = "") -> dict:
+    """microsoft/UniSpeech WavLM state dict -> param tree.
+
+    This is the layout inside the published ``wavlm_large_finetune.pth``
+    speaker checkpoint (the s3prl ``UpstreamExpert`` wraps the original
+    microsoft implementation; keys live under ``feature_extract.model.``,
+    ``/root/reference/tools/speaker/utils/utils.py:38-77``).  Relative to the
+    fairseq wav2vec2 layout it adds:
+
+      feature_extractor.conv_layers.{i}.2.1.{weight,bias}   per-layer LN
+      encoder.layers.{i}.self_attn.grep_linear.{weight,bias} gate (HF
+        ``gru_rel_pos_linear``)
+      encoder.layers.{i}.self_attn.grep_a                   gate const
+      encoder.layers.0.self_attn.relative_attention_bias.weight  bucket table
+    """
+
+    def key(name):
+        return f"{prefix}{name}"
+
+    conv_layers = []
+    for i in range(len(cfg.conv_dims)):
+        layer = {"w": _conv_w(sd, key(f"feature_extractor.conv_layers.{i}.0.weight"))}
+        if key(f"feature_extractor.conv_layers.{i}.0.bias") in sd:
+            layer["b"] = _np(sd[key(f"feature_extractor.conv_layers.{i}.0.bias")])
+        if key(f"feature_extractor.conv_layers.{i}.2.1.weight") in sd:
+            layer["norm_scale"] = _np(sd[key(f"feature_extractor.conv_layers.{i}.2.1.weight")])
+            layer["norm_bias"] = _np(sd[key(f"feature_extractor.conv_layers.{i}.2.1.bias")])
+        elif i == 0 and key("feature_extractor.conv_layers.0.2.weight") in sd:
+            layer["norm_scale"] = _np(sd[key("feature_extractor.conv_layers.0.2.weight")])
+            layer["norm_bias"] = _np(sd[key("feature_extractor.conv_layers.0.2.bias")])
+        conv_layers.append(layer)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = key(f"encoder.layers.{i}")
+        layer = {
+            "q": _lin(sd, f"{lp}.self_attn.q_proj"),
+            "k": _lin(sd, f"{lp}.self_attn.k_proj"),
+            "v": _lin(sd, f"{lp}.self_attn.v_proj"),
+            "o": _lin(sd, f"{lp}.self_attn.out_proj"),
+            "attn_ln": _ln(sd, f"{lp}.self_attn_layer_norm"),
+            "fc1": _lin(sd, f"{lp}.fc1"),
+            "fc2": _lin(sd, f"{lp}.fc2"),
+            "final_ln": _ln(sd, f"{lp}.final_layer_norm"),
+        }
+        if cfg.rel_pos_bias:
+            gru = _lin(sd, f"{lp}.self_attn.grep_linear")
+            layer["gru_w"] = gru["w"]
+            layer["gru_b"] = gru["b"]
+            layer["gru_const"] = _np(sd[f"{lp}.self_attn.grep_a"]).reshape(-1)
+        layers.append(layer)
+
+    params = {
+        "conv_layers": conv_layers,
+        "feat_ln": _ln(sd, key("layer_norm")),
+        "feat_proj": _lin(sd, key("post_extract_proj")),
+        "pos_conv": _fold_pos_conv(sd, key("encoder.pos_conv.0")),
+        "encoder_ln": _ln(sd, key("encoder.layer_norm")),
+        "layers": _stack(layers),
+    }
+    if cfg.rel_pos_bias:
+        params["rel_attn_embed"] = _np(
+            sd[key("encoder.layers.0.self_attn.relative_attention_bias.weight")]
+        )
+    return params

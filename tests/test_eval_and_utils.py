@@ -117,20 +117,25 @@ def test_param_counting():
 def test_ecapa_speaker_embedder():
     import jax
 
-    from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder, ecapa_forward, init_ecapa
+    from simwhisper_codec_tpu.eval.speaker import (
+        EMB_DIM,
+        SpeakerEmbedder,
+        ecapa_forward,
+        init_ecapa,
+    )
 
-    params = init_ecapa(jax.random.PRNGKey(0))
+    params = init_ecapa(jax.random.PRNGKey(0), feat_dim=80)
     import jax.numpy as jnp
 
     feats = jnp.asarray(np.random.default_rng(0).standard_normal((2, 50, 80)), jnp.float32)
     emb = ecapa_forward(params, feats)
-    assert emb.shape == (2, 192)
+    assert emb.shape == (2, EMB_DIM)
     assert np.isfinite(np.asarray(emb)).all()
 
-    embedder = SpeakerEmbedder(params)
+    embedder = SpeakerEmbedder(params, feat_type="fbank")
     e1 = embedder.embed(make_speechlike(16000, seed=0), 16000)
     e2 = embedder.embed(make_speechlike(16000, seed=0), 16000)
-    assert e1.shape == (192,)
+    assert e1.shape == (EMB_DIM,)
     np.testing.assert_array_equal(e1, e2)  # deterministic
 
 

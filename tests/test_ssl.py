@@ -110,7 +110,14 @@ def test_wavlm_large_arch_parity():
     _run_parity(hf, cfg, convert_hf_ssl)
 
 
-def test_lengths_mask_matches_hf_attention_mask():
+def test_lengths_match_exact_length_runs():
+    """Right-padded batch == per-sample exact-length (unpadded) runs.
+
+    This is the semantics the reference toolchain needs (it always feeds
+    unpadded utterances: utmos.py:49-63, continuous_hubert_ssl.py); note it is
+    deliberately STRICTER than HF's attention_mask batching, which leaves the
+    conv extractor's GroupNorm statistics unmasked over padding.
+    """
     from transformers import Wav2Vec2Config, Wav2Vec2Model
 
     torch.manual_seed(3)
@@ -125,17 +132,17 @@ def test_lengths_mask_matches_hf_attention_mask():
     wav = _wav(b=2, s=8000, seed=4)
     lengths = np.array([8000, 5000], np.int32)
     wav[1, 5000:] = 0.0
-    mask = (np.arange(8000)[None, :] < lengths[:, None]).astype(np.int64)
-    with torch.no_grad():
-        ref = hf(torch.from_numpy(wav), attention_mask=torch.from_numpy(mask))
     out = jssl.ssl_forward(cfg, params, jnp.asarray(wav), jnp.asarray(lengths))
 
     frame_lens = np.asarray(out["frame_lengths"])
     got = np.asarray(out["x"])
-    ref_x = ref.last_hidden_state.numpy()
     for b in range(2):
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(wav[b : b + 1, : lengths[b]]))
         t = frame_lens[b]
-        np.testing.assert_allclose(got[b, :t], ref_x[b, :t], atol=2e-4)
+        assert t == ref.last_hidden_state.shape[1]
+        np.testing.assert_allclose(got[b, :t], ref.last_hidden_state.numpy()[0],
+                                   atol=2e-4)
 
 
 def test_fairseq_layout_converter_roundtrip():
@@ -200,3 +207,33 @@ def test_fairseq_layout_converter_roundtrip():
     ):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_hubert_feature_extractor_layer_pick_matches_hf():
+    """E2 extractor (experiments/hifigan_continue): native tower layer pick vs
+    HF torch hidden_states, including the length bucketing in extract()."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from experiments.hifigan_continue.extract_features import HubertFeatureExtractor
+    from transformers import HubertConfig, HubertModel
+
+    torch.manual_seed(6)
+    hf = HubertModel(
+        HubertConfig(do_stable_layer_norm=False, feat_extract_norm="group",
+                     conv_bias=False, **TINY_KW)
+    ).eval()
+    cfg = jssl.SSLConfig(pre_ln=False, extract_norm="group", conv_bias=False, **TINY_CFG)
+    params = convert_hf_ssl({k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg)
+
+    layer_id = 1
+    ext = HubertFeatureExtractor(ssl_cfg=cfg, params=params, layer_id=layer_id)
+    wav = _wav(b=1, s=7000, seed=7)[0]
+    got = ext.extract(wav)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(wav[None]), output_hidden_states=True)
+    want = ref.hidden_states[layer_id][0].numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)

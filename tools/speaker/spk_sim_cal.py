@@ -23,33 +23,20 @@ def cosine(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
 
-def have_speaker_model() -> bool:
-    try:
-        import s3prl  # noqa: F401
+def load_extractor(checkpoint: str = None, feat_type: str = None):
+    """ECAPA-TDNN extractor (eval/speaker.py), reference-matching.
 
-        return True
-    except ImportError:
-        return False
-
-
-def load_extractor(checkpoint: str = None):
-    """ECAPA-TDNN extractor: native fbank variant (eval/speaker.py).
-
-    Matches the reference architecture; WavLM-large upstream features need
-    s3prl + downloaded weights, so the native path uses the fbank frontend
-    (reference feat_type='fbank' option).  Pass an Orbax checkpoint for
-    trained weights; random init is only meaningful for pipeline smoke tests.
+    With ``checkpoint`` = the published ``wavlm_large_finetune.pth`` (torch),
+    loads the full WavLM-large + ECAPA scorer natively in JAX (the reference
+    pipeline behind the published 0.83 SIM, ``extract_spk_emb.py:14-25``) —
+    no s3prl/fairseq needed.  Without a checkpoint, a random-weight fbank
+    variant runs for pipeline smoke tests.
     """
-    from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder, init_ecapa
+    from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder
 
-    params = None
     if checkpoint:
-        import jax
-
-        from simwhisper_codec_tpu.utils.checkpoint import load_orbax
-
-        params = load_orbax(checkpoint, init_ecapa(jax.random.PRNGKey(0)))
-    return SpeakerEmbedder(params)
+        return SpeakerEmbedder.from_checkpoint(checkpoint)
+    return SpeakerEmbedder(feat_type=feat_type or "fbank")
 
 
 def main() -> None:
@@ -60,7 +47,8 @@ def main() -> None:
                         help="dir of precomputed <utt>.npy embeddings for originals")
     parser.add_argument("--synth_emb_dir", type=str, default=None)
     parser.add_argument("--ecapa_checkpoint", type=str, default=None,
-                        help="Orbax checkpoint for the native fbank ECAPA")
+                        help="wavlm_large_finetune.pth (torch) for the reference "
+                             "WavLM-large ECAPA scorer")
     args = parser.parse_args()
 
     if args.orig_emb_dir and args.synth_emb_dir:

@@ -1,11 +1,10 @@
 """UTMOS MOS prediction over a directory of WAVs.
 
-Mirrors ``tools/utmos/calculate_utmos.py:1-27``.  The reference vendors the
-UTMOS model (wav2vec2 SSL + judge-embedding BLSTM), whose checkpoint is
-auto-downloaded via fairseq/pytorch-lightning — neither the weights nor
-fairseq are available in a zero-egress environment, so this CLI gates cleanly:
-it runs when a local UTMOS checkpoint (strong/utmos22) and its deps are
-present, and reports exactly what is missing otherwise.
+Mirrors ``tools/utmos/calculate_utmos.py:1-27`` (reference), with the model
+itself implemented natively in JAX (``simwhisper_codec_tpu/eval/utmos.py``)
+instead of fairseq/pytorch-lightning.  Only the published
+``utmos22_strong`` checkpoint file is required — ``torch.load`` reads it,
+the weights convert into the JAX tower, scoring runs on the accelerator.
 """
 
 import argparse
@@ -16,11 +15,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 
 def have_utmos(ckpt_path: str) -> bool:
+    """The checkpoint is the only hard gate (zero-egress: cannot download)."""
     if not Path(ckpt_path).exists():
         return False
     try:
-        import fairseq  # noqa: F401
-        import pytorch_lightning  # noqa: F401
+        import torch  # noqa: F401  (reads the lightning pickle)
 
         return True
     except ImportError:
@@ -36,26 +35,25 @@ def main() -> None:
 
     if not have_utmos(args.ckpt):
         print(
-            "UTMOS requires the utmos22_strong checkpoint plus fairseq/"
-            "pytorch-lightning, which are unavailable here (zero-egress). "
-            f"Place the checkpoint at {args.ckpt} and install the deps to run."
+            "UTMOS checkpoint not found (zero-egress: cannot auto-download). "
+            f"Place the utmos22_strong lightning .ckpt at {args.ckpt}; the "
+            "model itself runs natively in JAX (no fairseq needed)."
         )
         sys.exit(2)
 
-    # Checkpoint + deps present: run the standard UTMOS scorer.
     import numpy as np
-    import torch
 
+    from simwhisper_codec_tpu.eval.utmos import UTMOSScorer
     from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from utmos_model import UTMOSScorer  # vendored scorer
 
     scorer = UTMOSScorer(args.ckpt)
     scores = []
     for path in find_audio_files(args.input_dir):
-        wav = load_audio(path, target_sample_rate=args.sample_rate)
-        scores.append(scorer.score(torch.from_numpy(wav), args.sample_rate))
+        try:
+            wav = load_audio(path, target_sample_rate=args.sample_rate)
+            scores.append(scorer.score(wav, 16000))
+        except Exception as e:  # per-file resilience (reference eval-loop semantics)
+            print(f"skipping {path}: {e}")
     print(f"UTMOS mean over {len(scores)} files: {np.mean(scores):.3f}")
 
 
