@@ -33,22 +33,27 @@ def main() -> None:
     from simwhisper_codec_tpu.models.codec import (
         CodecConstants,
         detokenize,
+        fast_mode_settings,
         init_params,
         tokenize,
     )
 
-    cfg = dataclasses.replace(CodecConfig(), compute_dtype="bfloat16")
+    # the benchmarked program IS the serving program: one shared config
+    fastkw = fast_mode_settings()
+    cfg = dataclasses.replace(CodecConfig(), compute_dtype=fastkw["compute_dtype"])
     consts = CodecConstants(cfg)
     params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
 
     import os
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_samples = cfg.chunk_samples  # 30 s per utterance
-    prec = jax.lax.Precision.DEFAULT
+    prec = fastkw["precision"]
 
-    attn = "chunked:1536:bf16"  # MXU-aligned; see models/transformer.py::chunked_attention
-    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn, fused_ffn=True))
-    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn, fused_vocos=True, fused_ffn=True))
+    attn = fastkw["attn_impl"]  # MXU-aligned; see models/transformer.py::chunked_attention
+    tok = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn,
+                          fused_ffn=fastkw["fused_ffn"]))
+    detok = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn,
+                            fused_vocos=fastkw["fused_vocos"], fused_ffn=fastkw["fused_ffn"]))
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)

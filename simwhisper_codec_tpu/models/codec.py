@@ -157,6 +157,26 @@ def init_params(key, cfg: CodecConfig) -> dict:
     }
 
 
+def fast_mode_settings(backend: str = None) -> dict:
+    """THE serving/bench fast-mode configuration, in one place.
+
+    Both ``AudioCodec(mode="fast")`` and ``bench.py`` build their jitted
+    programs from this dict, so the benchmarked program IS the serving
+    program: bf16 compute, default-precision (MXU bf16) matmuls, MXU-aligned
+    single-block attention, fused Pallas kernels wherever Mosaic is available
+    (not the CPU interpreter).
+    """
+    backend = backend or jax.default_backend()
+    fused = backend != "cpu"
+    return {
+        "compute_dtype": "bfloat16",
+        "precision": jax.lax.Precision.DEFAULT,
+        "attn_impl": "chunked:1536:bf16",
+        "fused_ffn": fused,
+        "fused_vocos": fused,
+    }
+
+
 class AudioCodec:
     """User-facing codec with the reference's API shape.
 
@@ -180,11 +200,12 @@ class AudioCodec:
         blockwise kernel; requires a backend with Mosaic support — the
         tunneled axon platform does not compile it)."""
         if mode == "fast":
-            cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+            fastkw = fast_mode_settings()
+            cfg = dataclasses.replace(cfg, compute_dtype=fastkw["compute_dtype"])
             precision = "default"
             # MXU-aligned single-block attention: same speed as dense, half
             # the compile time (Pallas flash needs a Mosaic-capable backend)
-            self._attn_impl = attn_impl or "chunked:1536:bf16"
+            self._attn_impl = attn_impl or fastkw["attn_impl"]
         else:
             self._attn_impl = attn_impl or "dense"
         self.mode = mode
