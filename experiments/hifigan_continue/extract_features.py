@@ -135,8 +135,10 @@ class HubertFeatureExtractor:
     def extract(self, wav: np.ndarray) -> np.ndarray:
         """wav (S,) -> features (T, d) at the configured layer (50 Hz)."""
         n = len(wav)
-        bucket = 4000  # 0.25 s buckets bound the number of compiled programs
-        padded_len = max((n + bucket - 1) // bucket * bucket, bucket)
+        # geometric 1 s buckets bound compiled programs at ~log2(max_seconds)
+        padded_len = 16000
+        while padded_len < n:
+            padded_len *= 2
         padded = np.zeros((1, padded_len), np.float32)
         padded[0, :n] = wav
         out = self._fwd(self.params, jnp.asarray(padded),
@@ -180,7 +182,13 @@ if __name__ == "__main__":
     p.add_argument("--whisper_model", default=None)
     p.add_argument("--hubert_model", default="facebook/hubert-base-ls960")
     p.add_argument("--allow_random", action="store_true")
+    p.add_argument("--device", default=None,
+                   help="jax platform override, e.g. cpu (the axon TPU "
+                        "plugin ignores JAX_PLATFORMS)")
     args = p.parse_args()
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
 
     if args.feature_type == "hubert":
         extractor = HubertFeatureExtractor(

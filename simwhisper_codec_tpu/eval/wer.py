@@ -4,9 +4,10 @@ Reference: ``tools/wer/calculate_wer.py`` — HuBERT-large CTC greedy decoding
 (:269-374), unicode/tag normalization, DP edit-distance ``Calculator``
 (:97-227), aggregate WER for reconstructed and original audio.
 
-The edit-distance and normalization are native; ASR transcription uses HF
-``HubertForCTC`` when its weights are available (they require download or a
-local cache — gated, like everything model-backed in the eval stack).
+Everything is native: edit distance, normalization, and the ASR itself — the
+HuBERT-large tower runs on ``models/ssl.py`` with a CTC head and greedy
+decode in JAX.  Only the cached HF weight files are needed (zero-egress gate,
+same as the reference's download requirement).
 """
 
 from __future__ import annotations
@@ -161,22 +162,130 @@ def have_asr(model_name: str = "facebook/hubert-large-ls960-ft") -> bool:
         return False
 
 
+def ctc_logits(cfg, params: dict, wav, lengths):
+    """Waveform (B, S) -> CTC logits (B, T, V) + frame_lengths (B,).
+
+    The SSL tower is ``models/ssl.py`` (parity-tested vs HF torch); the CTC
+    head is the reference ASR's ``lm_head`` linear.  Replaces the torch
+    ``HubertForCTC`` forward of ``calculate_wer.py:269-374`` with a jitted
+    JAX program (params as arguments, never closure constants).
+    """
+    import jax.numpy as jnp
+
+    from simwhisper_codec_tpu.models.ssl import ssl_forward
+
+    out = ssl_forward(cfg, params["ssl"], wav, lengths)
+    logits = out["x"] @ params["lm_head"]["w"] + params["lm_head"]["b"]
+    frame_lengths = out.get("frame_lengths")
+    if frame_lengths is None:  # unmasked run: every frame is valid
+        frame_lengths = jnp.full((wav.shape[0],), logits.shape[1], jnp.int32)
+    return logits, frame_lengths
+
+
+def greedy_ctc_decode(ids: np.ndarray, vocab: Dict[int, str],
+                      blank_id: int = 0, word_delimiter: str = "|") -> str:
+    """Collapse repeats -> drop the blank -> map ids -> join.
+
+    Matches the reference's effective pipeline — default
+    ``Wav2Vec2CTCTokenizer.decode`` (collapse THEN remove blank; other
+    special tokens kept) composed with the WER normalization that strips
+    ``<...>`` tags to separators (``characterize``): non-blank specials
+    become spaces here so the normalized text is identical.
+    """
+    ids = np.asarray(ids).reshape(-1)
+    collapsed = [int(i) for i, prev in zip(ids, np.concatenate([[-1], ids[:-1]]))
+                 if i != prev]
+    toks = [" " if vocab[i].startswith("<") else vocab[i]
+            for i in collapsed if i != blank_id and i in vocab]
+    return "".join(toks).replace(word_delimiter, " ").strip()
+
+
+def load_hf_ctc_params(model_name: str = "facebook/hubert-large-ls960-ft",
+                       cfg=None, local_files_only: bool = True):
+    """HF HubertForCTC cache -> (param tree, id->token vocab, do_normalize).
+
+    torch is used only to read the weight file; the forward runs in JAX.
+    """
+    from transformers import AutoFeatureExtractor, AutoTokenizer, HubertForCTC
+
+    from simwhisper_codec_tpu.models.ssl import SSLConfig
+    from simwhisper_codec_tpu.utils.ssl_checkpoint import convert_hf_ssl
+
+    hf = HubertForCTC.from_pretrained(model_name, local_files_only=local_files_only)
+    hc = hf.config
+    cfg = cfg or SSLConfig(
+        d_model=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        num_heads=hc.num_attention_heads,
+        ffn_dim=hc.intermediate_size,
+        pre_ln=hc.do_stable_layer_norm,
+        conv_dims=tuple(hc.conv_dim),
+        conv_kernels=tuple(hc.conv_kernel),
+        conv_strides=tuple(hc.conv_stride),
+        conv_bias=hc.conv_bias,
+        extract_norm=hc.feat_extract_norm,
+        conv_pos_kernel=hc.num_conv_pos_embeddings,
+        conv_pos_groups=hc.num_conv_pos_embedding_groups,
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = {
+        "ssl": convert_hf_ssl(sd, cfg, prefix="hubert."),
+        "lm_head": {"w": sd["lm_head.weight"].T, "b": sd["lm_head.bias"]},
+    }
+    tok = AutoTokenizer.from_pretrained(model_name, local_files_only=local_files_only)
+    vocab = {i: t for t, i in tok.get_vocab().items()}
+    fe = AutoFeatureExtractor.from_pretrained(model_name, local_files_only=local_files_only)
+    return params, vocab, bool(getattr(fe, "do_normalize", True)), cfg
+
+
 class CTCTranscriber:
-    """Greedy CTC decoding with HubertForCTC (calculate_wer.py:269-374)."""
+    """Greedy CTC ASR, native JAX (calculate_wer.py:269-374 semantics).
 
-    def __init__(self, model_name: str = "facebook/hubert-large-ls960-ft", device: str = "cpu"):
-        import torch
-        from transformers import HubertForCTC, Wav2Vec2Processor
+    Only the cached HF weight/tokenizer files are read (zero-egress gate);
+    lengths bucket to 0.25 s so a corpus compiles a handful of programs.
+    """
 
-        self.torch = torch
-        self.processor = Wav2Vec2Processor.from_pretrained(model_name)
-        self.model = HubertForCTC.from_pretrained(model_name).to(device).eval()
-        self.device = device
+    def __init__(self, model_name: str = "facebook/hubert-large-ls960-ft",
+                 device: str = None, params: dict = None, cfg=None,
+                 vocab: Dict[int, str] = None, do_normalize: bool = True):
+        import jax
+
+        from simwhisper_codec_tpu.models.ssl import hubert_large_ft_config
+
+        del device  # JAX picks the backend; kept for CLI-signature parity
+        self.cfg = cfg
+        if params is None:
+            params, vocab, do_normalize, self.cfg = load_hf_ctc_params(
+                model_name, cfg
+            )
+        elif self.cfg is None:
+            self.cfg = hubert_large_ft_config()
+        self.params = jax.device_put(params)
+        self.vocab = vocab or {}
+        self.do_normalize = do_normalize
+        from functools import partial
+
+        self._fwd = jax.jit(partial(ctc_logits, self.cfg))
 
     def transcribe(self, wav: np.ndarray, sample_rate: int = 16000) -> str:
-        torch = self.torch
-        inputs = self.processor(wav, sampling_rate=sample_rate, return_tensors="pt")
-        with torch.no_grad():
-            logits = self.model(inputs.input_values.to(self.device)).logits
-        ids = torch.argmax(logits, dim=-1)
-        return self.processor.batch_decode(ids)[0]
+        import jax.numpy as jnp
+
+        if sample_rate != 16000:
+            raise ValueError("resample to 16 kHz on load (audio_io.load_audio)")
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        if self.do_normalize:  # Wav2Vec2FeatureExtractor zero-mean unit-var
+            wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+        n = max(len(wav), 800)
+        # geometric 1 s buckets: a whole corpus compiles a handful of
+        # programs (TPU compiles are ~tens of seconds each through the
+        # tunnel; linear 0.25 s buckets would mean one per distinct length)
+        padded_len = 16000
+        while padded_len < n:
+            padded_len *= 2
+        padded = np.zeros((1, padded_len), np.float32)
+        padded[0, : len(wav)] = wav
+        logits, frame_lengths = self._fwd(self.params, jnp.asarray(padded),
+                                          jnp.asarray([n], jnp.int32))
+        t = int(frame_lengths[0])
+        ids = np.argmax(np.asarray(logits)[0, :t], axis=-1)
+        return greedy_ctc_decode(ids, self.vocab)

@@ -65,6 +65,20 @@ def hubert_base_config() -> SSLConfig:
     return SSLConfig()
 
 
+def hubert_large_ft_config() -> SSLConfig:
+    """HF facebook/hubert-large-ls960-ft (the reference's WER ASR model,
+    ``tools/wer/calculate_wer.py:269-374``)."""
+    return SSLConfig(
+        d_model=1024,
+        num_layers=24,
+        num_heads=16,
+        ffn_dim=4096,
+        pre_ln=True,
+        conv_bias=True,
+        extract_norm="layer",
+    )
+
+
 def wavlm_large_config() -> SSLConfig:
     """HF microsoft/wavlm-large (s3prl 'wavlm_large' upstream)."""
     return SSLConfig(

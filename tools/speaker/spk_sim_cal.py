@@ -49,7 +49,15 @@ def main() -> None:
     parser.add_argument("--ecapa_checkpoint", type=str, default=None,
                         help="wavlm_large_finetune.pth (torch) for the reference "
                              "WavLM-large ECAPA scorer")
+    parser.add_argument("--device", type=str, default=None,
+                        help="jax platform override, e.g. cpu (the axon TPU "
+                             "plugin ignores JAX_PLATFORMS)")
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if args.orig_emb_dir and args.synth_emb_dir:
         sims = []

@@ -31,7 +31,15 @@ def main() -> None:
     parser.add_argument("--input_dir", type=str, required=True)
     parser.add_argument("--ckpt", type=str, default="./weights/utmos22_strong.ckpt")
     parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--device", type=str, default=None,
+                        help="jax platform override, e.g. cpu (the axon TPU "
+                             "plugin ignores JAX_PLATFORMS)")
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if not have_utmos(args.ckpt):
         print(

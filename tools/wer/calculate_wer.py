@@ -4,8 +4,9 @@ Mirrors ``tools/wer/calculate_wer.py:428-502``: collects ``*.trans.txt``
 references (LibriSpeech layout), greedy-decodes each WAV with a HuBERT CTC
 ASR, normalizes, and aggregates WER with the DP edit-distance Calculator.
 
-The ASR model requires downloaded weights (gated via ``--allow_download`` /
-local HF cache); the edit-distance/normalization pipeline is native.
+The whole pipeline is native JAX — the HuBERT-CTC forward runs on
+``models/ssl.py`` with greedy decode in ``eval/wer.py``; only the cached HF
+weight files are read (zero-egress gate, mirroring the reference's download).
 """
 
 import argparse
@@ -35,8 +36,15 @@ def main() -> None:
                         help="LibriSpeech-style dir with wavs + *.trans.txt")
     parser.add_argument("--synthesized_dir", type=str, required=True)
     parser.add_argument("--model", type=str, default="facebook/hubert-large-ls960-ft")
-    parser.add_argument("--device", type=str, default="cpu")
+    parser.add_argument("--device", type=str, default=None,
+                        help="jax platform override, e.g. cpu (the axon TPU "
+                             "plugin ignores JAX_PLATFORMS)")
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if not have_asr(args.model):
         print(
