@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from experiments.hifigan_continue.data_prepare import prepare_dataset
 from experiments.hifigan_continue.extract_features import (
     FeatureExtractor,
+    HubertFeatureExtractor,
     build_encoder_params,
     extract_manifest,
 )
@@ -77,11 +78,18 @@ def main(argv=None) -> None:
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--lr_gamma", type=float, default=0.9999)
     p.add_argument("--layer_id", type=int, default=-1)
+    p.add_argument("--feature_type", choices=["whisper", "hubert"], default="whisper",
+                   help="whisper: codec/Whisper encoder features (E1, "
+                        "hifigan_continue_whisper); hubert: HuBERT-base SSL "
+                        "features (E2, hifigan_continue_hubert)")
     p.add_argument("--codec_checkpoint", default=None)
     p.add_argument("--whisper_model", default=None)
+    p.add_argument("--hubert_model", default="facebook/hubert-base-ls960")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--keep_checkpoint_interval", type=int, default=50)
+    p.add_argument("--allow_random", action="store_true",
+                   help="random-weight feature extractor (pipeline smoke runs)")
     p.add_argument("--smoke", action="store_true", help="tiny synthetic end-to-end run")
     p.add_argument("--device", default=None, help="JAX platform override (cpu/tpu)")
     args = p.parse_args(argv)
@@ -119,11 +127,18 @@ def main(argv=None) -> None:
         gcfg = hg.HifiGanConfig(in_channels=768, upsample_initial_channel=512)
         save = out / "save"
         manifests = prepare_dataset(args.data_folder, str(save), sample_rate=args.sample_rate)
-        enc_cfg = EncoderConfig()
-        enc_params = build_encoder_params(
-            enc_cfg, args.codec_checkpoint, args.whisper_model, allow_random=False
-        )
-        extractor = FeatureExtractor(enc_cfg, enc_params, args.layer_id)
+        if args.feature_type == "hubert":
+            extractor = HubertFeatureExtractor(
+                layer_id=args.layer_id, model_name=args.hubert_model,
+                allow_random=args.allow_random,
+            )
+        else:
+            enc_cfg = EncoderConfig()
+            enc_params = build_encoder_params(
+                enc_cfg, args.codec_checkpoint, args.whisper_model,
+                allow_random=args.allow_random,
+            )
+            extractor = FeatureExtractor(enc_cfg, enc_params, args.layer_id)
         feature_dir = save / "custom_features"
         for split in ("train", "valid"):
             extract_manifest(manifests[split], str(feature_dir), extractor, args.sample_rate)
