@@ -91,6 +91,8 @@ def main(argv=None) -> None:
     p.add_argument("--allow_random", action="store_true",
                    help="random-weight feature extractor (pipeline smoke runs)")
     p.add_argument("--smoke", action="store_true", help="tiny synthetic end-to-end run")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in --output_folder")
     p.add_argument("--device", default=None, help="JAX platform override (cpu/tpu)")
     args = p.parse_args(argv)
 
@@ -101,12 +103,19 @@ def main(argv=None) -> None:
 
     out = Path(args.output_folder)
     out.mkdir(parents=True, exist_ok=True)
+    # persistent train log beside the checkpoints (the reference recipes use
+    # SpeechBrain's FileTrainLogger; whisper/train.py:216-227)
+    fh = logging.FileHandler(out / "train_log.txt")
+    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    logging.getLogger().addHandler(fh)
     rng = np.random.default_rng(args.seed)
 
     if args.smoke:
         gcfg = hg.HifiGanConfig(in_channels=16, upsample_initial_channel=32)
         enc_dim = 16
-        args.epochs, args.batch_size, args.segment_size = 2, 2, 2560
+        if args.epochs == 220:  # keep an explicit --epochs (e.g. resume tests)
+            args.epochs = 2
+        args.batch_size, args.segment_size = 2, 2560
         save = out / "save"
         save.mkdir(exist_ok=True)
         manifest = {}
@@ -159,7 +168,16 @@ def main(argv=None) -> None:
 
     ckpt_dir = out / "checkpoints"
     best_loss = float("inf")
-    for epoch in range(1, args.epochs + 1):
+    start_epoch = 1
+    if args.resume and ckpt_dir.exists():
+        epochs_saved = sorted(ckpt_dir.glob("epoch_*"))
+        if epochs_saved:
+            latest = epochs_saved[-1]
+            restored = load_orbax(str(latest), state._asdict())
+            state = gan.GanTrainState(**restored)
+            start_epoch = int(latest.name.split("_")[1]) + 1
+            logger.info("resumed from %s (next epoch %d)", latest.name, start_epoch)
+    for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         n_batches, g_loss_sum = 0, 0.0
         for batch in make_batches(
