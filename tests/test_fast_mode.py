@@ -39,3 +39,25 @@ def test_fast_mode_round_trip(codecs):
     a, b = dec_p[0], dec_f[0]
     corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert corr > 0.95, f"fast-mode waveform correlation {corr:.3f}"
+
+
+def test_fast_mode_settings_is_single_source_of_truth():
+    """bench.py and AudioCodec(mode='fast') must run the SAME program config."""
+    import jax
+
+    from simwhisper_codec_tpu.models.codec import fast_mode_settings
+
+    fk = fast_mode_settings()
+    assert fk["compute_dtype"] == "bfloat16"
+    assert fk["attn_impl"].startswith("chunked")
+    assert fk["precision"] == jax.lax.Precision.DEFAULT
+    # CPU backends must not enable the Pallas interpreter
+    cpu = fast_mode_settings("cpu")
+    assert not cpu["fused_ffn"] and not cpu["fused_vocos"]
+    tpu = fast_mode_settings("tpu")
+    assert tpu["fused_ffn"] and tpu["fused_vocos"]
+
+    codec = AudioCodec(TINY, init_params(__import__("jax").random.PRNGKey(0), TINY),
+                       mode="fast")
+    assert codec.cfg.compute_dtype == fk["compute_dtype"]
+    assert codec._attn_impl == fk["attn_impl"]

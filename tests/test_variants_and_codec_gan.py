@@ -154,3 +154,26 @@ def test_codec_gan_step():
         for a, b in zip(jax.tree.leaves(params["decoder"]), jax.tree.leaves(state.params["decoder"]))
     )
     assert dec_delta > 0
+
+
+def test_codec_gan_state_resume_roundtrip(tmp_path):
+    """Orbax save/restore of the trainer state preserves params + step exactly
+    (the --resume path of experiments/codec/train.py)."""
+    from simwhisper_codec_tpu.models.codec import CodecConstants, init_params
+    from simwhisper_codec_tpu.models.hifigan import init_discriminator
+    from simwhisper_codec_tpu.train import codec_gan
+    from simwhisper_codec_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    from test_parallel import TINY
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    d_params = init_discriminator(jax.random.PRNGKey(1))
+    g_tx, d_tx = codec_gan.make_codec_gan_optimizers(TINY)
+    state = codec_gan.init_codec_gan_state(TINY, params, d_params, g_tx, d_tx)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+
+    save_orbax(str(tmp_path / "ckpt"), state._asdict())
+    restored = codec_gan.CodecGanState(**load_orbax(str(tmp_path / "ckpt"), state._asdict()))
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
