@@ -62,6 +62,7 @@ def tokenize(
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
     fused_ffn: bool = False,
+    ffn_impl=None,
 ) -> Dict[str, jnp.ndarray]:
     """wav (B, chunk_samples) + lengths -> codes. Mirrors inference_tokenize.
 
@@ -75,7 +76,7 @@ def tokenize(
 
     enc, enc_len = transformer.encoder_forward(
         cfg.acoustic_encoder, params["encoder"], feats, mel_lens, precision=precision,
-        attn_impl=attn_impl, fused_ffn=fused_ffn,
+        attn_impl=attn_impl, fused_ffn=fused_ffn, ffn_impl=ffn_impl,
     )
     z, z_len = sampling.frame_stack_down(cfg.downsample, consts.af, params["downsample"], enc, enc_len)
     zq, codes = fsq.group_fsq_forward(consts.fsq, z.astype(jnp.float32), z_len)
@@ -93,6 +94,7 @@ def detokenize(
     attn_impl: str = "dense",
     fused_vocos: bool = False,
     fused_ffn: bool = False,
+    ffn_impl=None,
 ) -> Dict[str, jnp.ndarray]:
     """codes (G, B, Tc) -> waveform. Mirrors inference_detokenize.
 
@@ -105,7 +107,7 @@ def detokenize(
     up, up_len = sampling.frame_stack_up(cfg.upsample, consts.af, params["upsample"], zq, code_lengths)
     dec, dec_len = transformer.decoder_forward(
         cfg.acoustic_decoder, params["decoder"], up, up_len, precision=precision,
-        attn_impl=attn_impl, fused_ffn=fused_ffn,
+        attn_impl=attn_impl, fused_ffn=fused_ffn, ffn_impl=ffn_impl,
     )
     frame_valid = None
     if code_frame_valid is not None:
@@ -174,6 +176,9 @@ def fast_mode_settings(backend: str = None) -> dict:
         "attn_impl": "chunked:1536:bf16",
         "fused_ffn": fused,
         "fused_vocos": fused,
+        # dynamic-int8 FFNs (ops/quant.py): 2x MXU rate on the densest
+        # matmuls; requires quantize_stacked_ffn'd params (mode="fast-int8")
+        "int8_ffn_impl": "int8",
     }
 
 
@@ -198,8 +203,14 @@ class AudioCodec:
         reference) or "fast" (bf16 compute, default-precision matmuls — the
         serving path).  ``attn_impl``: "dense" (default) or "flash" (Pallas
         blockwise kernel; requires a backend with Mosaic support — the
-        tunneled axon platform does not compile it)."""
-        if mode == "fast":
+        tunneled axon platform does not compile it).
+
+        mode "fast-int8": the fast path with dynamic-int8 transformer FFNs
+        (ops/quant.py).  Codes agree with the bf16 path at ~97%; measured
+        end-to-end it does NOT yet beat "fast" on v5e (the XLA int8 path
+        breaks the Pallas LN+FFN fusion — docs/TPU_NOTES.md).  Kept as the
+        substrate for a fused int8 kernel."""
+        if mode in ("fast", "fast-int8"):
             fastkw = fast_mode_settings()
             cfg = dataclasses.replace(cfg, compute_dtype=fastkw["compute_dtype"])
             precision = "default"
@@ -214,6 +225,15 @@ class AudioCodec:
         self.mesh = None
         self._data_sharding = None
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        ffn_impl = None
+        if mode == "fast-int8":
+            from simwhisper_codec_tpu.ops.quant import quantize_stacked_ffn
+
+            params = dict(params)
+            for part in ("encoder", "decoder"):
+                params[part] = dict(params[part])
+                params[part]["layers"] = quantize_stacked_ffn(params[part]["layers"])
+            ffn_impl = fast_mode_settings()["int8_ffn_impl"]
         if data_parallel and len(jax.devices()) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -237,7 +257,7 @@ class AudioCodec:
 
         # fused Pallas kernels only where Mosaic compiles them; the CPU
         # backend would fall back to the (slow) interpreter
-        fused = mode == "fast" and jax.default_backend() != "cpu"
+        fused = mode in ("fast", "fast-int8") and jax.default_backend() != "cpu"
         # trace_counts[name] increments each time jit (re)traces that program:
         # the public observability hook for "how many executables exist"
         # (fixed-shape padding should keep it at 1 per direction)
@@ -254,14 +274,14 @@ class AudioCodec:
             _counted(
                 "tokenize",
                 partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                        fused_ffn=fused),
+                        fused_ffn=fused, ffn_impl=ffn_impl),
             )
         )
         self._detokenize = jax.jit(
             _counted(
                 "detokenize",
                 partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                        fused_vocos=fused, fused_ffn=fused),
+                        fused_vocos=fused, fused_ffn=fused, ffn_impl=ffn_impl),
             )
         )
 

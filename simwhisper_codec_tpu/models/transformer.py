@@ -161,8 +161,14 @@ def transformer_layer(
     lengths: Optional[jnp.ndarray] = None,
     attn_impl: str = "dense",
     fused_ffn: bool = False,
+    ffn_impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Pre-LN block: LN->attn->res, LN->fc1->gelu->fc2->res (modules.py:214-232)."""
+    """Pre-LN block: LN->attn->res, LN->fc1->gelu->fc2->res (modules.py:214-232).
+
+    ffn_impl: "dense" | "fused" (Pallas LN+FFN kernel) | "int8" (dynamic
+    int8 matmuls, requires ops.quant.quantize_stacked_ffn'd params); None
+    derives from ``fused_ffn`` for backward compatibility.
+    """
     h = layer_norm(p["attn_ln"], x)
     if attn_impl == "flash":
         from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_flash
@@ -178,7 +184,8 @@ def transformer_layer(
     else:
         x = x + varlen_attention(p, h, bias, num_heads, precision)
     b, t, d = x.shape
-    if fused_ffn:
+    impl = ffn_impl or ("fused" if fused_ffn else "dense")
+    if impl == "fused":
         # whole FFN sublayer as one Pallas kernel (serving path; tanh-GELU)
         from simwhisper_codec_tpu.ops.fused_convnext import fused_ln_ffn
 
@@ -189,6 +196,15 @@ def transformer_layer(
             p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
             eps=1e-5,
         ).reshape(b, t, d)
+    elif impl == "int8":
+        # dynamic int8 FFN: 2x MXU rate on v5e (ops/quant.py)
+        from simwhisper_codec_tpu.ops.quant import int8_dynamic_matmul
+
+        h = layer_norm(p["final_ln"], x).reshape(b * t, d)
+        h = int8_dynamic_matmul(h, p["fc1_q"], p["fc1_s"]) + p["fc1"]["b"].astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=False).astype(jnp.bfloat16)
+        h = int8_dynamic_matmul(h, p["fc2_q"], p["fc2_s"]) + p["fc2"]["b"].astype(jnp.float32)
+        x = x + h.astype(x.dtype).reshape(b, t, d)
     else:
         # FFN on a flattened (B*T, D) view (2-D matmuls tile better on the MXU)
         h = layer_norm(p["final_ln"], x).reshape(b * t, d)
@@ -214,6 +230,7 @@ def run_layers(
     lengths: Optional[jnp.ndarray] = None,
     attn_impl: str = "dense",
     fused_ffn: bool = False,
+    ffn_impl: Optional[str] = None,
 ):
     """Scan the transformer stack (stacked params with leading layer axis).
 
@@ -224,7 +241,8 @@ def run_layers(
 
     def body(carry, lp):
         out = transformer_layer(
-            lp, carry, bias, num_heads, precision, lengths, attn_impl, fused_ffn
+            lp, carry, bias, num_heads, precision, lengths, attn_impl, fused_ffn,
+            ffn_impl,
         )
         return out, (out if collect else None)
 
@@ -248,6 +266,7 @@ def encoder_forward(
     output_hidden_states: bool = False,
     attn_impl: str = "dense",
     fused_ffn: bool = False,
+    ffn_impl=None,
 ):
     """OmniAudioEncoder forward (modules.py:287-376).
 
@@ -279,6 +298,7 @@ def encoder_forward(
         x = run_layers(
             p["layers"], x, bias, cfg.encoder_attention_heads, precision,
             lengths=out_lengths, attn_impl=attn_impl, fused_ffn=fused_ffn,
+            ffn_impl=ffn_impl,
         )
         x = layer_norm(p["ln"], x)
         x = jnp.where(seq_mask(out_lengths, t), x, 0)
@@ -307,6 +327,7 @@ def decoder_forward(
     precision=jax.lax.Precision.HIGHEST,
     attn_impl: str = "dense",
     fused_ffn: bool = False,
+    ffn_impl=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """OmniAudioDecoder forward (modules.py:437-474).
 
@@ -319,6 +340,7 @@ def decoder_forward(
     x = run_layers(
         p["layers"], h, bias, cfg.decoder_attention_heads, precision,
         lengths=lengths, attn_impl=attn_impl, fused_ffn=fused_ffn,
+        ffn_impl=ffn_impl,
     )
     x = layer_norm(p["ln"], x)
     x = jnp.where(seq_mask(lengths, t), x, 0)

@@ -1,0 +1,56 @@
+"""Dynamic int8 matmuls for the serving path.
+
+The v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 T/s peak).  Weights
+quantize once at load time (symmetric, per-output-channel); activations
+quantize per row on the fly (symmetric, absmax), so no calibration data is
+needed.  Accumulation is int32 on the MXU; the rescale is a fused VPU
+epilogue.  Measured on the full-size encoder stack (B=16, T=1500): int8 FFNs
+run ~2x faster than the fused-bf16 path at ~1.6% rel RMS output error
+(bf16 itself is ~0.8%) — see docs/TPU_NOTES.md.
+
+Applied to the transformer FFNs (`models/transformer.py` ffn_impl="int8"),
+the densest matmuls of the codec.  The reference has no quantized path; this
+is a TPU-native serving capability on top of its behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> tuple:
+    """Symmetric per-output-channel int8 weights.
+
+    w: (..., K, N) -> (int8 (..., K, N), f32 scales (..., N)); columns with
+    all-zero weights get scale 1 to avoid 0/0.
+    """
+    s = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / 127.0
+    s = jnp.where(s == 0, 1.0, s).astype(jnp.float32)
+    wq = jnp.round(w / s).astype(jnp.int8)
+    return wq, jnp.squeeze(s, axis=axis)
+
+
+def int8_dynamic_matmul(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
+    """(M, K) x (K, N) with per-row dynamic activation quantization -> f32.
+
+    x may be bf16/f32; rows with absmax 0 quantize with scale 1 (output 0).
+    """
+    xs = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+    xs = jnp.where(xs == 0, 1.0, xs)
+    xq = jnp.round(x.astype(jnp.float32) / xs).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return y.astype(jnp.float32) * xs * ws[None, :]
+
+
+def quantize_stacked_ffn(layers: dict) -> dict:
+    """Augment a stacked transformer-layer dict (fc1/fc2 (L, K, N)) with
+    int8 weights + scales for ffn_impl="int8".  Idempotent."""
+    if "fc1_q" in layers:
+        return layers
+    out = dict(layers)
+    out["fc1_q"], out["fc1_s"] = quantize_weight(layers["fc1"]["w"])
+    out["fc2_q"], out["fc2_s"] = quantize_weight(layers["fc2"]["w"])
+    return out

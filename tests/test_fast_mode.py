@@ -61,3 +61,24 @@ def test_fast_mode_settings_is_single_source_of_truth():
                        mode="fast")
     assert codec.cfg.compute_dtype == fk["compute_dtype"]
     assert codec._attn_impl == fk["attn_impl"]
+
+
+def test_fast_int8_mode_round_trip():
+    """Dynamic-int8 FFN serving mode: runs end-to-end, codes mostly agree
+    with the f32 parity path (same yardstick as the bf16 fast mode)."""
+    import jax
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    parity = AudioCodec(TINY, params, mode="parity")
+    q = AudioCodec(TINY, params, mode="fast-int8")
+    rng = np.random.default_rng(1)
+    wavs = [(rng.standard_normal(32000) * 0.1).astype(np.float32)]
+
+    enc_p = parity.encode(wavs, overlap_seconds=10)["codes_list"]
+    enc_q = q.encode(wavs, overlap_seconds=10)["codes_list"]
+    assert enc_p[0].shape == enc_q[0].shape
+    agree = float(np.mean(enc_p[0] == enc_q[0]))
+    assert agree > 0.85, f"int8 code agreement too low: {agree}"
+
+    dec = q.decode(enc_q, overlap_seconds=10)["syn_wav_list"]
+    assert np.isfinite(dec[0]).all()
