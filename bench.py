@@ -104,6 +104,47 @@ def main() -> None:
     x_realtime = audio_seconds / elapsed_pipe
     latency_x_realtime = audio_seconds / elapsed_sync
 
+    # optional int8 serving mode (fused Pallas int8 FFN/ConvNeXt): faster but
+    # a second quality step below bf16 (codes ~97% agree) — reported as its
+    # own field, not the headline
+    int8_x_realtime = int8_agreement = None
+    if not os.environ.get("BENCH_SKIP_INT8"):
+        from simwhisper_codec_tpu.ops.quant import (
+            quantize_stacked_convnext,
+            quantize_stacked_ffn,
+        )
+
+        qparams = dict(params)
+        for part in ("encoder", "decoder"):
+            qparams[part] = dict(qparams[part])
+            qparams[part]["layers"] = quantize_stacked_ffn(qparams[part]["layers"])
+        qparams["vocos"] = dict(qparams["vocos"])
+        qparams["vocos"]["blocks"] = quantize_stacked_convnext(qparams["vocos"]["blocks"])
+        qparams = jax.device_put(qparams)
+        tok8 = jax.jit(partial(tokenize, cfg, consts, precision=prec, attn_impl=attn,
+                               fused_ffn=fastkw["fused_ffn"],
+                               ffn_impl=fastkw["int8_ffn_impl"]))
+        detok8 = jax.jit(partial(detokenize, cfg, consts, precision=prec, attn_impl=attn,
+                                 fused_vocos=fastkw["int8_vocos"] or fastkw["fused_vocos"],
+                                 fused_ffn=fastkw["fused_ffn"],
+                                 ffn_impl=fastkw["int8_ffn_impl"]))
+
+        def round_trip8(w, a):
+            t = tok8(qparams, w, lengths)
+            d = detok8(qparams, t["codes"], t["codes_lengths"], frame_valid)
+            return accum(d["y"], a), t["codes"]
+
+        a8, codes8 = round_trip8(wav, jnp.zeros(()))
+        assert np.isfinite(float(a8))
+        codes_bf = tok(params, wav, lengths)["codes"]
+        int8_agreement = round(float(np.mean(np.asarray(codes8) == np.asarray(codes_bf))), 4)
+        acc = jnp.zeros(())
+        start = time.perf_counter()
+        for _ in range(iters):
+            acc, _ = round_trip8(wav, acc)
+        assert np.isfinite(float(acc))
+        int8_x_realtime = round(audio_seconds / (time.perf_counter() - start), 2)
+
     from simwhisper_codec_tpu.utils.flops import codec_flops, peak_tflops
 
     ledger = codec_flops(cfg)
@@ -125,6 +166,8 @@ def main() -> None:
                 "device": jax.devices()[0].device_kind,
                 "peak_tflops_bf16": peak,
                 "mfu": round(mfu, 4),
+                "int8_x_realtime": int8_x_realtime,
+                "int8_code_agreement_vs_bf16": int8_agreement,
             }
         )
     )

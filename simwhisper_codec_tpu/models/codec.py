@@ -176,9 +176,11 @@ def fast_mode_settings(backend: str = None) -> dict:
         "attn_impl": "chunked:1536:bf16",
         "fused_ffn": fused,
         "fused_vocos": fused,
-        # dynamic-int8 FFNs (ops/quant.py): 2x MXU rate on the densest
-        # matmuls; requires quantize_stacked_ffn'd params (mode="fast-int8")
-        "int8_ffn_impl": "int8",
+        # int8 serving (mode="fast-int8", ops/quant.py + fused kernel):
+        # fused Pallas int8 FFN/ConvNeXt where Mosaic is available, the XLA
+        # dynamic-int8 path on CPU (interpret-mode kernels would be slow)
+        "int8_ffn_impl": "int8-fused" if fused else "int8",
+        "int8_vocos": "int8" if fused else False,
     }
 
 
@@ -226,14 +228,22 @@ class AudioCodec:
         self._data_sharding = None
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
         ffn_impl = None
+        int8_vocos = None
         if mode == "fast-int8":
-            from simwhisper_codec_tpu.ops.quant import quantize_stacked_ffn
+            from simwhisper_codec_tpu.ops.quant import (
+                quantize_stacked_convnext,
+                quantize_stacked_ffn,
+            )
 
             params = dict(params)
             for part in ("encoder", "decoder"):
                 params[part] = dict(params[part])
                 params[part]["layers"] = quantize_stacked_ffn(params[part]["layers"])
-            ffn_impl = fast_mode_settings()["int8_ffn_impl"]
+            params["vocos"] = dict(params["vocos"])
+            params["vocos"]["blocks"] = quantize_stacked_convnext(params["vocos"]["blocks"])
+            fk = fast_mode_settings()
+            ffn_impl = fk["int8_ffn_impl"]
+            int8_vocos = fk["int8_vocos"]
         if data_parallel and len(jax.devices()) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -281,7 +291,8 @@ class AudioCodec:
             _counted(
                 "detokenize",
                 partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                        fused_vocos=fused, fused_ffn=fused, ffn_impl=ffn_impl),
+                        fused_vocos=(int8_vocos if int8_vocos is not None else fused),
+                        fused_ffn=fused, ffn_impl=ffn_impl),
             )
         )
 

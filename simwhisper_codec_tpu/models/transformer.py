@@ -196,6 +196,19 @@ def transformer_layer(
             p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
             eps=1e-5,
         ).reshape(b, t, d)
+    elif impl == "int8-fused":
+        # whole int8 FFN sublayer in one Pallas kernel: 2x MXU rate without
+        # the HBM quantize passes that sink the XLA int8 path
+        from simwhisper_codec_tpu.ops.fused_convnext import fused_ln_ffn_int8
+
+        xf = x.reshape(b * t, d)
+        x = fused_ln_ffn_int8(
+            xf, xf,
+            p["final_ln"]["scale"], p["final_ln"]["bias"],
+            p["fc1_q"], p["fc1_s"], p["fc1"]["b"],
+            p["fc2_q"], p["fc2_s"], p["fc2"]["b"],
+            eps=1e-5,
+        ).reshape(b, t, d)
     elif impl == "int8":
         # dynamic int8 FFN: 2x MXU rate on v5e (ops/quant.py)
         from simwhisper_codec_tpu.ops.quant import int8_dynamic_matmul

@@ -62,6 +62,19 @@ def convnext_block(
         x = x * mask
     # depthwise k7 as 7 shift-FMAs (w stored (7, 1, C) -> (7, C))
     x = depthwise_conv1d_shifts(x, p["dwconv"]["w"][:, 0, :], p["dwconv"]["b"], padding=3)
+    if fused == "int8":
+        # int8 pointwise chain (2x MXU rate; quantized via ops/quant.py)
+        from simwhisper_codec_tpu.ops.fused_convnext import fused_ln_ffn_int8
+
+        b, t, c = x.shape
+        out = fused_ln_ffn_int8(
+            x.reshape(b * t, c), residual.reshape(b * t, c),
+            p["norm"]["scale"], p["norm"]["bias"],
+            p["pw1_q"], p["pw1_s"], p["pw1"]["b"],
+            p["pw2_q"], p["pw2_s"], p["pw2"]["b"],
+            p["gamma"], eps=1e-6,
+        )
+        return out.reshape(b, t, c)
     if fused:
         from simwhisper_codec_tpu.ops.fused_convnext import fused_convnext_ffn
 

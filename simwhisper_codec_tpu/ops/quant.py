@@ -54,3 +54,14 @@ def quantize_stacked_ffn(layers: dict) -> dict:
     out["fc1_q"], out["fc1_s"] = quantize_weight(layers["fc1"]["w"])
     out["fc2_q"], out["fc2_s"] = quantize_weight(layers["fc2"]["w"])
     return out
+
+
+def quantize_stacked_convnext(blocks: dict) -> dict:
+    """Augment stacked Vocos ConvNeXt blocks (pw1/pw2 (L, K, N)) with int8
+    weights + scales for the fused int8 pointwise chain.  Idempotent."""
+    if "pw1_q" in blocks:
+        return blocks
+    out = dict(blocks)
+    out["pw1_q"], out["pw1_s"] = quantize_weight(blocks["pw1"]["w"])
+    out["pw2_q"], out["pw2_s"] = quantize_weight(blocks["pw2"]["w"])
+    return out
