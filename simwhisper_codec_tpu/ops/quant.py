@@ -4,13 +4,18 @@ The v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 T/s peak).  Weights
 quantize once at load time (symmetric, per-output-channel); activations
 quantize per row on the fly (symmetric, absmax), so no calibration data is
 needed.  Accumulation is int32 on the MXU; the rescale is a fused VPU
-epilogue.  Measured on the full-size encoder stack (B=16, T=1500): int8 FFNs
-run ~2x faster than the fused-bf16 path at ~1.6% rel RMS output error
-(bf16 itself is ~0.8%) — see docs/TPU_NOTES.md.
+epilogue.
 
-Applied to the transformer FFNs (`models/transformer.py` ffn_impl="int8"),
-the densest matmuls of the codec.  The reference has no quantized path; this
-is a TPU-native serving capability on top of its behavior.
+Two consumers (measured end-to-end in docs/TPU_NOTES.md):
+- the *unfused* XLA path here (``ffn_impl="int8"``) — correct but SLOWER
+  than the fused-bf16 serving path (breaking the Pallas LN+FFN fusion costs
+  more HBM traffic than the 2x MXU rate saves);
+- the *fused* Pallas kernel ``ops/fused_convnext.fused_ln_ffn_int8``
+  (``ffn_impl="int8-fused"`` + int8 Vocos pointwise) — the serving winner:
+  2897x vs 2484x real-time at batch 16, codes 96.9% agree with bf16.
+
+The reference has no quantized path; this is a TPU-native serving capability
+on top of its behavior (``AudioCodec(mode="fast-int8")``).
 """
 
 from __future__ import annotations

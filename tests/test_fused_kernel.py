@@ -70,3 +70,39 @@ def test_tanh_gelu_deviation_is_small():
     exact = jax.nn.gelu(x, approximate=False)
     approx = jax.nn.gelu(x, approximate=True)
     assert float(jnp.abs(exact - approx).max()) < 3e-3
+
+
+def test_fused_int8_matches_unfused_composition():
+    """fused_ln_ffn_int8 (interpret mode) == LN + int8_dynamic_matmul chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from simwhisper_codec_tpu.ops.fused_convnext import fused_ln_ffn_int8
+    from simwhisper_codec_tpu.ops.quant import int8_dynamic_matmul, quantize_weight
+
+    rng = np.random.default_rng(0)
+    M, C, I = 80, 128, 256  # M not a block multiple: exercises padding rows
+    x = jnp.asarray(rng.standard_normal((M, C)) * 0.5, jnp.float32)
+    ls = jnp.asarray(rng.standard_normal((C,)) * 0.1 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((C, I)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((I,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((I, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((C,)) * 0.01, jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((C,)) * 0.1 + 0.5, jnp.float32)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+
+    got = fused_ln_ffn_int8(x, x, ls, lb, w1q, s1, b1, w2q, s2, b2, gamma,
+                            eps=1e-5, block_m=64, interpret=True)
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * ls + lb
+    h = int8_dynamic_matmul(xn, w1q, s1) + b1
+    h = jax.nn.gelu(h, approximate=True)  # kernel uses tanh-GELU
+    y = int8_dynamic_matmul(jnp.asarray(h), w2q, s2) + b2
+    want = xf + gamma * y
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
