@@ -108,7 +108,15 @@ def main() -> None:
     # a second quality step below bf16 (codes ~97% agree) — reported as its
     # own field, not the headline
     int8_x_realtime = int8_agreement = None
-    if not os.environ.get("BENCH_SKIP_INT8"):
+    import signal
+
+    def _int8_timeout(signum, frame):
+        raise TimeoutError("int8 bench section exceeded 480 s")
+
+    signal.signal(signal.SIGALRM, _int8_timeout)
+    signal.alarm(480)  # a tunnel hang here must not eat the whole bench
+    try:
+      if not os.environ.get("BENCH_SKIP_INT8"):
         from simwhisper_codec_tpu.ops.quant import (
             quantize_stacked_convnext,
             quantize_stacked_ffn,
@@ -144,6 +152,10 @@ def main() -> None:
             acc, _ = round_trip8(wav, acc)
         assert np.isfinite(float(acc))
         int8_x_realtime = round(audio_seconds / (time.perf_counter() - start), 2)
+    except Exception as e:  # int8 section is additive: never lose the JSON line
+        print(f"int8 bench section failed: {e!r}", flush=True)
+    finally:
+        signal.alarm(0)
 
     from simwhisper_codec_tpu.utils.flops import codec_flops, peak_tflops
 
