@@ -152,6 +152,53 @@ def chunked_attention(
     return jnp.matmul(o, p["o"]["w"].astype(x.dtype), precision=precision) + p["o"]["b"].astype(x.dtype)
 
 
+def packed_attention(
+    p: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    precision=jax.lax.Precision.DEFAULT,
+    score_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Single-matmul QKV attention (serving path).
+
+    The three (D, D) projections concatenate into one (D, 3D) matmul —
+    mathematically identical outputs (each output column is the same dot
+    product).  Measured ~44% faster than the scanned-block form on the
+    *isolated* encoder stack, but ~16% SLOWER inside the full codec graph
+    (XLA schedules the unblocked (B,H,T,T) score tensor worse there) — so
+    ``chunked:1536:bf16`` stays the serving default and this impl is
+    experimental (docs/TPU_NOTES.md round 2).  Variable-length masking
+    matches ``varlen_attention`` (key-side bias; +1.0 valid / dtype-min
+    invalid).
+    """
+    b, t, d = x.shape
+    hd = d // num_heads
+    scale = hd ** -0.5
+    w = jnp.concatenate(
+        [p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=-1
+    ).astype(x.dtype)
+    qkv = jnp.matmul(x.reshape(b * t, d), w, precision=precision).reshape(b, t, 3 * d)
+    q = (qkv[..., :d] + p["q"]["b"].astype(x.dtype)) * scale
+    k = qkv[..., d:2 * d]
+    v = qkv[..., 2 * d:] + p["v"]["b"].astype(x.dtype)
+    q = q.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+    key_valid = jnp.arange(t)[None, :] < lengths[:, None]
+    neg = jnp.finfo(score_dtype).min
+    kbias = jnp.where(key_valid, jnp.asarray(1.0, score_dtype),
+                      jnp.asarray(neg, score_dtype))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision,
+                        preferred_element_type=score_dtype)
+    scores = scores + kbias[:, None, None, :]
+    wts = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", wts, v, precision=precision)
+    o = o.transpose(0, 2, 1, 3).reshape(b * t, d)
+    o = jnp.matmul(o, p["o"]["w"].astype(x.dtype), precision=precision)
+    return o.reshape(b, t, d) + p["o"]["b"].astype(x.dtype)
+
+
 def transformer_layer(
     p: dict,
     x: jnp.ndarray,
@@ -174,6 +221,11 @@ def transformer_layer(
         from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_flash
 
         x = x + varlen_attention_flash(p, h, lengths, num_heads)
+    elif attn_impl.startswith("packed"):
+        parts = attn_impl.split(":")
+        score_dtype = jnp.bfloat16 if len(parts) > 1 and parts[1] == "bf16" else jnp.float32
+        x = x + packed_attention(p, h, lengths, num_heads, precision,
+                                 score_dtype=score_dtype)
     elif attn_impl.startswith("chunked"):
         parts = attn_impl.split(":")
         block_q = int(parts[1]) if len(parts) > 1 else 128

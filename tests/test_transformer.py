@@ -117,3 +117,29 @@ def test_decoder_parity():
     np.testing.assert_array_equal(np.asarray(out_len), len_ref.numpy())
     assert out.shape == (2, 48, 20)
     np.testing.assert_allclose(np.asarray(out), out_ref.permute(0, 2, 1).numpy(), atol=5e-5)
+
+
+def test_packed_attention_matches_dense():
+    """packed (single-matmul QKV) == dense varlen attention at f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from simwhisper_codec_tpu.models import transformer as T
+
+    rng = np.random.default_rng(0)
+    b, t, d, h = 2, 24, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, t, d)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([t, t - 7], jnp.int32)
+    p = {
+        name: {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32),
+               "b": jnp.asarray(rng.standard_normal((d,)) * 0.05, jnp.float32)}
+        for name in ("q", "k", "v", "o")
+    }
+    p["k"]["b"] = jnp.zeros((d,))  # whisper convention: no k bias
+    bias = T.attention_bias(lengths, t)
+    want = T.varlen_attention(p, x, bias, h, jax.lax.Precision.HIGHEST)
+    got = T.packed_attention(p, x, lengths, h, jax.lax.Precision.HIGHEST,
+                             score_dtype=jnp.float32)
+    # valid region matches; padded queries may differ (they're masked upstream)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want)[0], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[1, : t - 7], np.asarray(want)[1, : t - 7], atol=2e-5)
