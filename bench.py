@@ -61,7 +61,6 @@ def main() -> None:
     consts = CodecConstants(cfg)
     params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
 
-    import os
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_samples = cfg.chunk_samples  # 30 s per utterance
     prec = fastkw["precision"]
