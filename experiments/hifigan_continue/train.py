@@ -71,7 +71,8 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data_folder", default=None)
     p.add_argument("--output_folder", default="./results/continuous_hifigan")
-    p.add_argument("--epochs", type=int, default=220)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="training epochs (default 220; 2 under --smoke)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--segment_size", type=int, default=8960)
     p.add_argument("--feature_hop", type=int, default=320)
@@ -113,7 +114,7 @@ def main(argv=None) -> None:
     if args.smoke:
         gcfg = hg.HifiGanConfig(in_channels=16, upsample_initial_channel=32)
         enc_dim = 16
-        if args.epochs == 220:  # keep an explicit --epochs (e.g. resume tests)
+        if args.epochs is None:  # keep an explicit --epochs (e.g. resume tests)
             args.epochs = 2
         args.batch_size, args.segment_size = 2, 2560
         save = out / "save"
@@ -152,6 +153,8 @@ def main(argv=None) -> None:
         for split in ("train", "valid"):
             extract_manifest(manifests[split], str(feature_dir), extractor, args.sample_rate)
         train_manifest = json.loads(Path(manifests["train"]).read_text())
+    if args.epochs is None:
+        args.epochs = 220  # reference recipe default (hparams/train.yaml)
 
     # -- model + optimizers --------------------------------------------------
     key = jax.random.PRNGKey(args.seed)

@@ -489,11 +489,13 @@ class SpeakerEmbedder:
                             jnp.asarray(padded), jnp.asarray([n], jnp.int32))
             return np.asarray(out)[0]
         # fbank: reflect-centered STFT makes tail frames depend on the true
-        # signal end — run at (hop-rounded) exact length, unmasked; the model
-        # is tiny so per-length compiles are cheap
+        # signal end — run at (hop-truncated) exact length, unmasked; the
+        # model is tiny so per-length compiles are cheap.  Truncation (not
+        # round-up padding) matches torchaudio's 1+floor(len/hop) frame count,
+        # so no near-zero tail frame enters the instance-norm/pooling stats.
         hop = 160
-        n = (n + hop - 1) // hop * hop
+        n = n // hop * hop
         padded = np.zeros((1, n), np.float32)
-        padded[0, : len(wav)] = wav
+        padded[0, :] = wav[:n] if len(wav) >= n else np.pad(wav, (0, n - len(wav)))
         out = self._fwd(self.params, jnp.asarray(padded))
         return np.asarray(out)[0]

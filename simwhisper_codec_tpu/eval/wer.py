@@ -242,7 +242,8 @@ class CTCTranscriber:
     """Greedy CTC ASR, native JAX (calculate_wer.py:269-374 semantics).
 
     Only the cached HF weight/tokenizer files are read (zero-egress gate);
-    lengths bucket to 0.25 s so a corpus compiles a handful of programs.
+    lengths pad to geometric power-of-two-second buckets (16000*2^k samples)
+    so a corpus compiles a handful of programs.
     """
 
     def __init__(self, model_name: str = "facebook/hubert-large-ls960-ft",
