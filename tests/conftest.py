@@ -64,3 +64,10 @@ def add_reference_to_path():
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.functional"] = functional
         sys.modules["torchaudio.functional.functional"] = inner
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy oracle/e2e tests (>30 s); core tier = -m 'not slow'",
+    )

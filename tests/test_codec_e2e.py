@@ -161,6 +161,7 @@ def test_fuzz_code_parity(models):
         )
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_fuzz_overlap_settings(models):
     """Different overlap_seconds values keep bit-exact chunk arithmetic."""
     ref, ours = models

@@ -19,6 +19,7 @@ def codecs():
     return parity, fast
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_fast_mode_round_trip(codecs):
     parity, fast = codecs
     rng = np.random.default_rng(0)
@@ -63,6 +64,7 @@ def test_fast_mode_settings_is_single_source_of_truth():
     assert codec._attn_impl == fk["attn_impl"]
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_fast_int8_mode_round_trip():
     """Dynamic-int8 FFN serving mode: runs end-to-end, codes mostly agree
     with the f32 parity path (same yardstick as the bf16 fast mode)."""

@@ -57,6 +57,7 @@ def test_sharded_tokenize_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out["codes"]), ref_codes)
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_sharded_detokenize_matches_single_device():
     from simwhisper_codec_tpu.models.codec import detokenize
 
@@ -84,12 +85,14 @@ def test_sharded_detokenize_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["y"]), ref_y, atol=1e-5)
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_dryrun_model_axis_4():
     """TP over 4-way sharded heads/FFN (2 data x 4 model) reproduces single-device grads."""
     import __graft_entry__ as ge
@@ -109,6 +112,7 @@ def test_entry_compiles_tiny():
     assert y_shape.shape == (1, 480000)
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_data_parallel_codec_matches_single():
     from simwhisper_codec_tpu.models.codec import AudioCodec, init_params
 

@@ -18,6 +18,7 @@ torch = pytest.importorskip("torch")
 
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo used to build the ckpt")
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_serve_end_to_end(tmp_path):
     add_reference_to_path()
     from audiocodec.model import AudioCodec as RefCodec

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # heavy torch-oracle tests; core tier skips
+
 from simwhisper_codec_tpu.eval import speaker as jspk
 from simwhisper_codec_tpu.models import ssl as jssl
 

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow  # heavy torch-oracle tests; core tier skips
 transformers = pytest.importorskip("transformers")
 
 from simwhisper_codec_tpu.models import ssl as jssl

@@ -37,6 +37,7 @@ def test_streaming_encoder_matches_batch(codec):
     np.testing.assert_array_equal(streamed, np.asarray(batch_codes))
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_streaming_decoder_matches_batch(codec):
     rng = np.random.default_rng(1)
     wav = (rng.standard_normal(41 * 16000) * 0.1).astype(np.float32)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # heavy torch-oracle tests; core tier skips
+
 from simwhisper_codec_tpu.eval import utmos as jutmos
 from simwhisper_codec_tpu.models import ssl as jssl
 

@@ -117,6 +117,7 @@ def test_ada_layer_norm_parity():
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_codec_gan_step():
     from simwhisper_codec_tpu.models.codec import CodecConstants, init_params
     from simwhisper_codec_tpu.models.hifigan import init_discriminator
@@ -156,6 +157,7 @@ def test_codec_gan_step():
     assert dec_delta > 0
 
 
+@pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_codec_gan_state_resume_roundtrip(tmp_path):
     """Orbax save/restore of the trainer state preserves params + step exactly
     (the --resume path of experiments/codec/train.py)."""
