@@ -12,42 +12,96 @@ same as the reference's download requirement).
 
 from __future__ import annotations
 
-import re
 import unicodedata
 from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np
 
-_TAG_RE = re.compile(r"<[^>]+>|\[[^\]]+\]|\{[^}]+\}")
-_PUNCT_CATEGORIES = ("P", "S")
+# Exact behavioral parity with the reference text pipeline
+# (tools/wer/calculate_wer.py:22-96): the published WER numbers were produced
+# by these precise tokenization quirks, so the rebuild reproduces them
+# faithfully (verified by the fuzz A/B in tests/test_wer_parity.py):
+#   - the punctuation list is skipped only when a punct char *starts* a token;
+#     a trailing "world!" keeps its '!' attached,
+#   - category-Lo chars (CJK etc.) are emitted one char per token,
+#   - a '<' opens a tag token grouped until '>' (inclusive); tags are later
+#     removed by ``stripoff_tags`` inside ``normalize``,
+#   - any char with ord >= 128 breaks a latin run.
+_PUNCTS = frozenset("!,?、。！，；？：「」︰『』《》")
+_SPACES = frozenset(" \t\r\n")
 
 
 def characterize(text: str) -> List[str]:
-    """Tokenize: split latin words on whitespace, CJK into characters,
-    strip tags/punctuation (calculate_wer.py normalization semantics)."""
-    text = _TAG_RE.sub(" ", text)
+    """Tokenize raw text (reference ``characterize``, calculate_wer.py:30-58)."""
     tokens: List[str] = []
-    word = []
-
-    def flush():
-        if word:
-            tokens.append("".join(word))
-            word.clear()
-
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in _PUNCTS:
+            i += 1
+            continue
         cat = unicodedata.category(ch)
-        if ch.isspace():
-            flush()
-        elif cat[0] in _PUNCT_CATEGORIES and ch != "'":
-            flush()
-        elif 0x4E00 <= ord(ch) <= 0x9FFF or 0x3400 <= ord(ch) <= 0x4DBF:
-            flush()
+        if cat in ("Zs", "Cn") or ch in _SPACES:
+            i += 1
+            continue
+        if cat == "Lo":
             tokens.append(ch)
-        else:
-            word.append(ch.upper())
-    flush()
+            i += 1
+            continue
+        sep = ">" if ch == "<" else " "
+        j = i + 1
+        while j < n:
+            c = text[j]
+            if ord(c) >= 128 or c in _SPACES or c == sep:
+                break
+            j += 1
+        if j < n and text[j] == ">":
+            j += 1
+        tokens.append(text[i:j])
+        i = j
     return tokens
+
+
+def stripoff_tags(token: str) -> str:
+    """Drop ``<...>`` spans, unclosed tails included (calculate_wer.py:61-75)."""
+    out: List[str] = []
+    i, n = 0, len(token)
+    while i < n:
+        if token[i] == "<":
+            while i < n and token[i] != ">":
+                i += 1
+            i += 1
+        else:
+            out.append(token[i])
+            i += 1
+    return "".join(out)
+
+
+def normalize(tokens: List[str], ignore_words=(), case_sensitive: bool = False,
+              split: Dict[str, List[str]] = None, remove_tag: bool = True) -> List[str]:
+    """Uppercase -> drop ignores -> strip tags -> expand splits
+    (reference ``normalize``, calculate_wer.py:78-96)."""
+    out: List[str] = []
+    for tok in tokens:
+        if not case_sensitive:
+            tok = tok.upper()
+        if tok in ignore_words:
+            continue
+        if remove_tag:
+            tok = stripoff_tags(tok)
+        if not tok:
+            continue
+        if split and tok in split:
+            out.extend(split[tok])
+        else:
+            out.append(tok)
+    return out
+
+
+def normalize_text(text: str) -> List[str]:
+    """The full reference pipeline: ``normalize(characterize(text), [], False)``."""
+    return normalize(characterize(text))
 
 
 @dataclass
@@ -92,9 +146,16 @@ def edit_distance(ref: List[str], hyp: List[str]) -> EditStats:
                 c_diag, o_diag = cost[i - 1][j - 1] + 1, 1
             c_del = cost[i - 1][j] + 1
             c_ins = cost[i][j - 1] + 1
-            best = min(c_diag, c_del, c_ins)
+            # reference tie-break (calculate_wer.py:146-170): del first, then
+            # ins, then diag — each replacing only on strictly smaller cost.
+            # Attribution (not total distance) depends on this order.
+            best, o = c_del, 2
+            if c_ins < best:
+                best, o = c_ins, 3
+            if c_diag < best:
+                best, o = c_diag, o_diag
             cost[i][j] = best
-            op[i][j] = o_diag if best == c_diag else (2 if best == c_del else 3)
+            op[i][j] = o
 
     stats = EditStats()
     i, j = n, m
@@ -122,8 +183,15 @@ class Calculator:
         self.total = EditStats()
         self.per_utt: Dict[str, EditStats] = {}
 
-    def calculate(self, utt_id: str, ref_text: str, hyp_text: str) -> EditStats:
-        s = edit_distance(characterize(ref_text), characterize(hyp_text))
+    def calculate(self, utt_id: str, lab_text: str, rec_text: str) -> EditStats:
+        """Normalize both texts and accumulate alignment stats.
+
+        Argument order mirrors the reference harness, which passes the ASR
+        *transcription* as ``lab`` and the ground-truth text as ``rec``
+        (calculate_wer.py:339-343) — so the aggregate WER denominator is the
+        transcription token count, exactly as published.
+        """
+        s = edit_distance(normalize_text(lab_text), normalize_text(rec_text))
         self.per_utt[utt_id] = s
         self.total.cor += s.cor
         self.total.sub += s.sub
@@ -186,17 +254,16 @@ def greedy_ctc_decode(ids: np.ndarray, vocab: Dict[int, str],
                       blank_id: int = 0, word_delimiter: str = "|") -> str:
     """Collapse repeats -> drop the blank -> map ids -> join.
 
-    Matches the reference's effective pipeline — default
-    ``Wav2Vec2CTCTokenizer.decode`` (collapse THEN remove blank; other
-    special tokens kept) composed with the WER normalization that strips
-    ``<...>`` tags to separators (``characterize``): non-blank specials
-    become spaces here so the normalized text is identical.
+    Matches the reference's default ``Wav2Vec2CTCTokenizer.decode``: collapse
+    THEN remove blank; other special tokens are kept verbatim (the WER
+    normalization later strips ``<...>`` spans *inside* tokens, so a special
+    glued between letters must stay glued — ``CA<s>A`` normalizes to ``CAA``,
+    not ``CA A``); the word delimiter becomes a space.
     """
     ids = np.asarray(ids).reshape(-1)
     collapsed = [int(i) for i, prev in zip(ids, np.concatenate([[-1], ids[:-1]]))
                  if i != prev]
-    toks = [" " if vocab[i].startswith("<") else vocab[i]
-            for i in collapsed if i != blank_id and i in vocab]
+    toks = [vocab[i] for i in collapsed if i != blank_id and i in vocab]
     return "".join(toks).replace(word_delimiter, " ").strip()
 
 

@@ -58,6 +58,12 @@ def main() -> None:
     transcripts = collect_transcripts(args.original_dir)
     asr = CTCTranscriber(args.model, device=args.device)
 
+    # one directory walk, stem -> path (first match wins, like sorted zip in
+    # the reference harness); rescanning per utterance would be O(N^2) stats
+    orig_by_stem = {}
+    for p in find_audio_files(args.original_dir):
+        orig_by_stem.setdefault(Path(p).stem, p)
+
     calc_rec, calc_orig = Calculator(), Calculator()
     for synth_path in find_audio_files(args.synthesized_dir):
         utt_id = Path(synth_path).stem
@@ -65,12 +71,14 @@ def main() -> None:
             continue
         ref_text = transcripts[utt_id]
         hyp_rec = asr.transcribe(load_audio(synth_path, 16000), 16000)
-        calc_rec.calculate(utt_id, ref_text, hyp_rec)
+        # reference argument order: (transcription, ground truth) — the WER
+        # denominator is the transcription token count (calculate_wer.py:339-343)
+        calc_rec.calculate(utt_id, hyp_rec, ref_text)
 
-        matches = [p for p in find_audio_files(args.original_dir) if Path(p).stem == utt_id]
-        if matches:
-            hyp_orig = asr.transcribe(load_audio(matches[0], 16000), 16000)
-            calc_orig.calculate(utt_id, ref_text, hyp_orig)
+        orig_path = orig_by_stem.get(utt_id)
+        if orig_path is not None:
+            hyp_orig = asr.transcribe(load_audio(orig_path, 16000), 16000)
+            calc_orig.calculate(utt_id, hyp_orig, ref_text)
 
     print("reconstructed:", calc_rec.report())
     print("original:     ", calc_orig.report())
