@@ -16,10 +16,15 @@ natively:
  - Multi-Scale Discriminator: 3 scales with avg-pool 4/2/1 downsampling.
 
 All convs carry explicit weight-norm parametrization {g, v} (trained, like
-the torch originals; folded only for export).  The first MSD scale uses
-weight norm in place of the original's spectral norm (documented deviation —
-power-iteration state is awkward in a pure-functional step and the effect on
-training stability is minor at these widths).
+the torch originals; folded only for export) — except the first MSD scale,
+which uses spectral norm exactly as the original discriminator stack does
+(SpeechBrain ``DiscriminatorS(use_spectral_norm=True)``, reference
+``hparams/train.yaml:165-188``): w/sigma with sigma from power iteration,
+torch ``parametrizations.spectral_norm`` semantics (dim=0, eps=1e-12).  The
+u/v power-iteration buffers live in the param tree as extra leaves;
+``spectral_norm_power_iteration`` advances them once per training step (the
+torch original iterates on every forward — 4x per step; one iteration per
+step tracks sigma just as tightly since weights move by ~lr per step).
 
 Everything is channels-last (B, T, C); discriminator stacks are Python-level
 lists (heterogeneous shapes — no scan), generators' resblocks likewise.
@@ -204,6 +209,91 @@ def init_period_discriminator(key) -> dict:
     return {"convs": convs, "conv_post": _init_wn_conv2d(keys[-1], 3, 1, 1024, 1)}
 
 
+# -- spectral-norm conv parametrization (first MSD scale) --------------------
+
+
+def _l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """torch ``F.normalize(dim=0)``: x / max(||x||, eps)."""
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def _sn_weight_mat(w: jnp.ndarray) -> jnp.ndarray:
+    """(W, I, O) conv kernel -> torch's (O, I*W) spectral-norm matrix view."""
+    return jnp.transpose(w, (2, 1, 0)).reshape(w.shape[-1], -1)
+
+
+def sn_weight(p: dict) -> jnp.ndarray:
+    """Effective weight w / sigma with sigma = u^T W v from the stored
+    power-iteration buffers (torch ``parametrizations.spectral_norm`` with
+    the buffers advanced by :func:`spectral_norm_power_iteration`)."""
+    wm = _sn_weight_mat(p["w"])
+    u = jax.lax.stop_gradient(p["u"])
+    v = jax.lax.stop_gradient(p["v_vec"])
+    sigma = u @ (wm @ v)
+    return p["w"] / sigma
+
+
+def sn_power_iteration(p: dict, n_iter: int = 1) -> dict:
+    """One (or n) power-method step(s) on the buffers, torch order:
+    u <- normalize(W v); v <- normalize(W^T u)."""
+    wm = jax.lax.stop_gradient(_sn_weight_mat(p["w"]))
+    u, v = p["u"], p["v_vec"]
+    for _ in range(n_iter):
+        u = _l2norm(wm @ v)
+        v = _l2norm(wm.T @ u)
+    return {**p, "u": u, "v_vec": v}
+
+
+def sn_conv(p, x, **kw):
+    return conv1d(x, sn_weight(p), p["b"], **kw)
+
+
+def _init_sn_conv(key, w, cin, cout, scale=0.01, n_init_iter: int = 15):
+    kw_, ku, kv = jax.random.split(key, 3)
+    p = {
+        "w": scale * jax.random.normal(kw_, (w, cin, cout), jnp.float32),
+        "b": jnp.zeros((cout,), jnp.float32),
+        "u": _l2norm(jax.random.normal(ku, (cout,), jnp.float32)),
+        "v_vec": _l2norm(jax.random.normal(kv, (w * cin,), jnp.float32)),
+    }
+    # torch runs 15 power iterations at parametrization registration
+    return sn_power_iteration(p, n_init_iter)
+
+
+def spectral_norm_power_iteration(d_params: dict) -> dict:
+    """Advance every spectral-normed conv's u/v buffers (first MSD scale).
+
+    Call once per training step before the discriminator forwards — the
+    functional analogue of torch updating the buffers inside forward.
+    """
+    msd = list(d_params["msd"])
+    first = dict(msd[0])
+    first["convs"] = [sn_power_iteration(c) if "u" in c else c for c in first["convs"]]
+    if "u" in first["conv_post"]:
+        first["conv_post"] = sn_power_iteration(first["conv_post"])
+    msd[0] = first
+    return {**d_params, "msd": msd}
+
+
+def restore_sn_buffers(dst: dict, src: dict) -> dict:
+    """Copy the spectral-norm u/v buffers from ``src`` into ``dst``.
+
+    The optimizer must not touch the buffers — their grads are zero but
+    AdamW's decoupled weight decay would still shrink the unit vectors — so
+    the train step restores them after ``optax.apply_updates``.
+    """
+    msd = list(dst["msd"])
+    first = dict(msd[0])
+
+    def copy(d, s):
+        return {**d, "u": s["u"], "v_vec": s["v_vec"]} if "u" in d else d
+
+    first["convs"] = [copy(d, s) for d, s in zip(first["convs"], src["msd"][0]["convs"])]
+    first["conv_post"] = copy(first["conv_post"], src["msd"][0]["conv_post"])
+    msd[0] = first
+    return {**dst, "msd": msd}
+
+
 _MSD_SPEC = [
     # (kernel, stride, groups, out_channels)
     (15, 1, 1, 128),
@@ -217,26 +307,30 @@ _MSD_SPEC = [
 
 
 def scale_discriminator_forward(p: dict, x: jnp.ndarray, slope=0.1):
-    """x (B, T) -> (score, features)."""
+    """x (B, T) -> (score, features).  Convs dispatch on parametrization:
+    ``u`` in params = spectral norm (first scale), else weight norm."""
     h = x[..., None]  # (B, T, 1)
     feats = []
     for conv, (k, s, g, _c) in zip(p["convs"], _MSD_SPEC):
-        h = wn_conv(conv, h, stride=s, padding=k // 2, groups=g)
+        apply = sn_conv if "u" in conv else wn_conv
+        h = apply(conv, h, stride=s, padding=k // 2, groups=g)
         h = _lrelu(h, slope)
         feats.append(h)
-    h = wn_conv(p["conv_post"], h, padding=1)
+    apply = sn_conv if "u" in p["conv_post"] else wn_conv
+    h = apply(p["conv_post"], h, padding=1)
     feats.append(h)
     return h[..., 0], feats
 
 
-def init_scale_discriminator(key) -> dict:
+def init_scale_discriminator(key, use_spectral_norm: bool = False) -> dict:
     keys = jax.random.split(key, len(_MSD_SPEC) + 1)
+    init = _init_sn_conv if use_spectral_norm else _init_wn_conv
     convs = []
     cin = 1
     for i, (k, s, g, cout) in enumerate(_MSD_SPEC):
-        convs.append(_init_wn_conv(keys[i], k, cin // g, cout))
+        convs.append(init(keys[i], k, cin // g, cout))
         cin = cout
-    return {"convs": convs, "conv_post": _init_wn_conv(keys[-1], 3, 1024, 1)}
+    return {"convs": convs, "conv_post": init(keys[-1], 3, 1024, 1)}
 
 
 def _avg_pool(x: jnp.ndarray, k: int = 4, stride: int = 2, pad: int = 2) -> jnp.ndarray:
@@ -272,5 +366,10 @@ def init_discriminator(key) -> dict:
     keys = jax.random.split(key, 8)
     return {
         "mpd": [init_period_discriminator(keys[i]) for i in range(5)],
-        "msd": [init_scale_discriminator(keys[5 + i]) for i in range(3)],
+        # scale 1 = spectral norm, scales 2/3 = weight norm — the original
+        # HiFi-GAN MSD stack (reference hparams/train.yaml:165-188)
+        "msd": [
+            init_scale_discriminator(keys[5 + i], use_spectral_norm=(i == 0))
+            for i in range(3)
+        ],
     }

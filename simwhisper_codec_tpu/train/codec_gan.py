@@ -19,7 +19,11 @@ import optax
 
 from simwhisper_codec_tpu.config import CodecConfig
 from simwhisper_codec_tpu.models.codec import CodecConstants, training_forward
-from simwhisper_codec_tpu.models.hifigan import discriminator_forward
+from simwhisper_codec_tpu.models.hifigan import (
+    discriminator_forward,
+    restore_sn_buffers,
+    spectral_norm_power_iteration,
+)
 from simwhisper_codec_tpu.train.gan import (
     MelLossArrays,
     MelLossConstants,
@@ -80,6 +84,11 @@ def make_codec_gan_step(
         fake, real = fwd(state.params, batch)
         fake_sg = jax.lax.stop_gradient(fake)
 
+        # advance spectral-norm u/v buffers once per step (hifigan.py)
+        state = state._replace(
+            d_params=spectral_norm_power_iteration(state.d_params)
+        )
+
         def d_loss_fn(d_params):
             sf, _ = discriminator_forward(d_params, fake_sg)
             sr, _ = discriminator_forward(d_params, real)
@@ -89,6 +98,7 @@ def make_codec_gan_step(
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params = restore_sn_buffers(d_params, state.d_params)
 
         def g_loss_fn(params):
             y_hat, target = fwd(params, batch)

@@ -25,6 +25,8 @@ from simwhisper_codec_tpu.models.hifigan import (
     HifiGanConfig,
     discriminator_forward,
     generator_forward,
+    restore_sn_buffers,
+    spectral_norm_power_iteration,
 )
 from simwhisper_codec_tpu.ops.mel import frame_signal, slaney_mel_filter_bank
 
@@ -167,6 +169,12 @@ def make_gan_train_step(
         fake = generator_forward(gcfg, state.g_params, feats)
         fake_sg = jax.lax.stop_gradient(fake)
 
+        # advance the first-MSD-scale spectral-norm u/v buffers once per step
+        # (the torch original iterates inside each forward; see hifigan.py)
+        state = state._replace(
+            d_params=spectral_norm_power_iteration(state.d_params)
+        )
+
         def d_loss_fn(d_params):
             scores_fake, _ = discriminator_forward(d_params, fake_sg)
             scores_real, _ = discriminator_forward(d_params, audio)
@@ -178,6 +186,7 @@ def make_gan_train_step(
         )
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params = restore_sn_buffers(d_params, state.d_params)
 
         def g_loss_fn(g_params):
             y_hat = generator_forward(gcfg, g_params, feats)
