@@ -5,8 +5,10 @@ find_audio_files (:105-111), set_logging (:60-75).
 
 The reference uses torchaudio; this framework keeps I/O torch-free on the
 host: stdlib ``wave`` for WAV PCM, soundfile if available for flac/mp3, and a
-polyphase kaiser-windowed resampler (scipy) matching torchaudio's default
-``sinc_interp_hann``-class quality.
+numpy implementation of torchaudio's default resampler (windowed-sinc
+polyphase, ``sinc_interp_hann``, lowpass_filter_width=6, rolloff=0.99 —
+``torchaudio.functional.resample`` as called by ``utils/helpers.py:86-87``),
+so resampled inputs produce the same code indices as the reference pipeline.
 """
 
 from __future__ import annotations
@@ -34,16 +36,61 @@ def set_logging(level=logging.INFO) -> None:
     )
 
 
+def sinc_hann_kernel(orig_freq: int, new_freq: int,
+                     lowpass_filter_width: int = 6, rolloff: float = 0.99,
+                     dtype=np.float64) -> tuple:
+    """torchaudio ``_get_sinc_resample_kernel`` (sinc_interp_hann defaults).
+
+    Frequencies must already be reduced by their gcd.  Returns
+    ``(kernels (new_freq, 2*width + orig_freq), width)``: one windowed-sinc
+    filter per output phase, sampled on the input grid, scaled by
+    ``base_freq / orig_freq``.
+    """
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = int(np.ceil(lowpass_filter_width * orig_freq / base_freq))
+    idx = np.arange(-width, width + orig_freq, dtype=dtype)[None, :] / orig_freq
+    t = np.arange(0, -new_freq, -1, dtype=dtype)[:, None] / new_freq + idx
+    t = np.clip(t * base_freq, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
+    t_pi = t * np.pi
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kernels = np.where(t_pi == 0, 1.0, np.sin(t_pi) / t_pi)
+    kernels *= window * (base_freq / orig_freq)
+    return kernels, width
+
+
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (host-side; replaces torchaudio.functional.resample)."""
+    """Windowed-sinc polyphase resampling, torchaudio-equivalent.
+
+    Implements ``torchaudio.functional.resample``'s default
+    ``sinc_interp_hann`` path (the reference's load path,
+    ``utils/helpers.py:86-87``): per-phase hann-windowed sinc filters applied
+    at stride ``orig_freq`` and interleaved, output trimmed to
+    ``ceil(len * new / orig)``.  Pinned against the same kernel applied
+    through scipy's independent ``upfirdn`` machinery in
+    ``tests/test_resample.py`` (and against torchaudio itself when that
+    package is importable).
+    """
     if orig_sr == target_sr:
         return wav
     from math import gcd
 
-    from scipy.signal import resample_poly
+    g = gcd(int(orig_sr), int(target_sr))
+    orig_freq, new_freq = int(orig_sr) // g, int(target_sr) // g
+    length = wav.shape[-1]
+    kernels, width = sinc_hann_kernel(orig_freq, new_freq)
 
-    g = gcd(orig_sr, target_sr)
-    return resample_poly(wav, target_sr // g, orig_sr // g).astype(np.float32)
+    x = np.pad(np.asarray(wav, np.float64), (width, width + orig_freq))
+    # frames of the padded signal at stride orig_freq, one kernel-width each:
+    # output[phase, frame] = kernels[phase] . x[frame*orig : frame*orig + K]
+    K = kernels.shape[1]
+    n_frames = (x.shape[-1] - K) // orig_freq + 1
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, K), strides=(x.strides[-1] * orig_freq, x.strides[-1]),
+    )
+    out = (frames @ kernels.T).reshape(-1)  # interleave phases
+    target_length = -(-length * new_freq // orig_freq)  # ceil
+    return out[:target_length].astype(np.float32)
 
 
 def _load_wav_stdlib(path: str) -> tuple:
