@@ -114,7 +114,12 @@ def _load_wav_stdlib(path: str) -> tuple:
 
 
 def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
-    """Load audio -> mono float32 at target rate (helpers.py:77-93 semantics)."""
+    """Load audio -> mono float32 at target rate (helpers.py:77-93 semantics).
+
+    WAV via stdlib ``wave``; FLAC via the in-repo decoder (utils/flac.py) —
+    zero optional dependencies, so LibriSpeech-style flac corpora decode
+    everywhere; soundfile is only a last resort for other formats (mp3).
+    """
     path = str(path)
     data: Optional[np.ndarray] = None
     sr = None
@@ -123,6 +128,10 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
             data, sr = _load_wav_stdlib(path)
         except Exception:
             data = None
+    if data is None and path.lower().endswith(".flac"):
+        from simwhisper_codec_tpu.utils.flac import read_flac
+
+        data, sr = read_flac(path)
     if data is None:
         try:
             import soundfile as sf
@@ -130,7 +139,8 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
             data, sr = sf.read(path, dtype="float32")
         except ImportError as e:
             raise RuntimeError(
-                f"cannot decode {path}: stdlib wave failed and soundfile is unavailable"
+                f"cannot decode {path}: no native decoder for this format and "
+                "soundfile is unavailable"
             ) from e
     if data.ndim > 1:
         data = data.mean(axis=1)  # mono mix, matching torch.mean(dim=0)
@@ -145,19 +155,30 @@ def probe_audio_length(path: str, target_sample_rate: int = 16000) -> int:
     ``evaluate_model.py:128-141``); other formats fall back to a full decode.
     """
     path = str(path)
+    n = sr = None
     if path.lower().endswith(".wav"):
         try:
             with wave.open(path, "rb") as f:
                 n, sr = f.getnframes(), f.getframerate()
-            if sr == target_sample_rate:
-                return n
-            from math import gcd
-
-            g = gcd(sr, target_sample_rate)
-            # matches scipy.signal.resample_poly's output length
-            return -(-n * (target_sample_rate // g) // (sr // g))
         except Exception:
-            pass
+            n = None
+    elif path.lower().endswith(".flac"):
+        try:
+            from simwhisper_codec_tpu.utils.flac import probe_flac
+
+            info = probe_flac(path)
+            if info["total_samples"]:
+                n, sr = info["total_samples"], info["sample_rate"]
+        except Exception:
+            n = None
+    if n is not None:
+        if sr == target_sample_rate:
+            return n
+        from math import gcd
+
+        g = gcd(sr, target_sample_rate)
+        # matches the resampler's ceil output length
+        return -(-n * (target_sample_rate // g) // (sr // g))
     return len(load_audio(path, target_sample_rate))
 
 

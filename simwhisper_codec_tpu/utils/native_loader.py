@@ -3,12 +3,12 @@
 Builds ``native/audioloader.cpp`` on first use (g++, cached in
 ``native/build/``) and exposes:
 
- - ``load_audio_batch(paths, target_sr, num_threads)``: multithreaded WAV
-   decode + kaiser-sinc polyphase resample to mono float32;
+ - ``load_audio_batch(paths, target_sr, num_threads)``: multithreaded WAV +
+   FLAC decode + sinc_interp_hann polyphase resample to mono float32;
  - ``load_audio`` / ``save_audio`` single-file equivalents.
 
-Falls back transparently to the pure-Python path (utils/audio_io.py) when no
-C++ toolchain is available or a file isn't plain WAV.
+Falls back transparently to the pure-Python path (utils/audio_io.py +
+utils/flac.py) when no C++ toolchain is available or a format is unsupported.
 """
 
 from __future__ import annotations
@@ -79,7 +79,7 @@ def available() -> bool:
 
 def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
     lib = get_lib()
-    if lib is not None and str(path).lower().endswith(".wav"):
+    if lib is not None and str(path).lower().endswith((".wav", ".flac")):
         out = ctypes.POINTER(ctypes.c_float)()
         n = lib.audioloader_load(str(path).encode(), target_sample_rate, ctypes.byref(out))
         if n >= 0:
@@ -96,7 +96,7 @@ def load_audio_batch(
 ) -> List[np.ndarray]:
     """Decode many files in parallel (native thread pool); Python fallback per-file."""
     lib = get_lib()
-    if lib is None or not all(str(p).lower().endswith(".wav") for p in paths):
+    if lib is None or not all(str(p).lower().endswith((".wav", ".flac")) for p in paths):
         from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
 
         return [py_load(p, target_sample_rate) for p in paths]
