@@ -9,8 +9,10 @@ framework's runtime; instead:
    10 kHz resample, silent-frame removal, 1/3-octave band decomposition,
    384 ms segments, clipped correlation.
  - SI-SNR, SNR, LSD, MCD: standard auxiliary metrics (native).
- - PESQ: delegated to the ``pesq`` package when installed (exact ITU-T P.862
-   parity requires its reference C code); ``have_pesq()`` reports availability.
+ - PESQ: the ``pesq`` ITU wrapper when installed (exact P.862 parity);
+   otherwise the native implementation (eval/pesq_native.py) — full P.862
+   pipeline with formula-derived psychoacoustic tables, anchor-calibrated.
+   ``have_pesq()`` reports which path is active.
 """
 
 from __future__ import annotations
@@ -207,17 +209,24 @@ def have_pesq() -> bool:
 def pesq_score(
     reference: np.ndarray, degraded: np.ndarray, sample_rate: int, mode: str = "wb"
 ) -> Optional[float]:
-    """ITU-T P.862 PESQ via the ``pesq`` package (None when unavailable).
+    """ITU-T P.862 PESQ MOS-LQO.
 
-    Matches the reference harness (tools/base_eval/evaluator.py:13-101):
-    signals length-matched and clipped to [-1, 1] by the caller.
+    Uses the pip ``pesq`` ITU wrapper when installed (exact reference-C
+    parity, matching the reference harness
+    tools/base_eval/evaluator.py:13-101); otherwise falls back to the native
+    implementation (eval/pesq_native.py — P.862 structure with
+    formula-derived tables, anchor-calibrated; see its docstring for the
+    fidelity statement).  Signals are length-matched and clipped to [-1, 1]
+    by the caller.
     """
-    if not have_pesq():
-        return None
-    from pesq import pesq as _pesq
-
     rate = 16000 if mode == "wb" else 8000
     ref = _resample(np.asarray(reference, np.float64), sample_rate, rate)
     deg = _resample(np.asarray(degraded, np.float64), sample_rate, rate)
     m = min(len(ref), len(deg))
-    return float(_pesq(rate, ref[:m], deg[:m], mode))
+    if have_pesq():
+        from pesq import pesq as _pesq
+
+        return float(_pesq(rate, ref[:m], deg[:m], mode))
+    from simwhisper_codec_tpu.eval.pesq_native import pesq as _native_pesq
+
+    return float(_native_pesq(rate, ref[:m], deg[:m], mode))

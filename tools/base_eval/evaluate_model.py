@@ -5,7 +5,8 @@ walks an original and a synthesized directory, pairs files by sorted order,
 length-matches and [-1,1]-clips each pair, averages per-metric.
 
 Metrics: STOI / SI-SNR / SNR / LSD / MCD are native (eval/metrics.py);
-PESQ-WB/NB are included when the ``pesq`` package is installed.
+PESQ-WB/NB use the ITU ``pesq`` wrapper when installed, else the native
+P.862 implementation (eval/pesq_native.py).
 """
 
 import argparse
@@ -53,9 +54,8 @@ def main() -> None:
             "lsd": M.log_spectral_distance(ref, deg),
             "mcd": M.mel_cepstral_distortion(ref, deg, args.sample_rate),
         }
-        if M.have_pesq():
-            results["pesq_wb"] = M.pesq_score(ref, deg, args.sample_rate, "wb")
-            results["pesq_nb"] = M.pesq_score(ref, deg, args.sample_rate, "nb")
+        results["pesq_wb"] = M.pesq_score(ref, deg, args.sample_rate, "wb")
+        results["pesq_nb"] = M.pesq_score(ref, deg, args.sample_rate, "nb")
         for k, v in results.items():
             if v is None or (isinstance(v, float) and np.isnan(v)):
                 continue
@@ -65,7 +65,7 @@ def main() -> None:
     averages = {k: sums[k] / counts[k] for k in sums}
     averages["num_pairs"] = len(pairs)
     if not M.have_pesq():
-        averages["pesq_note"] = "pesq package not installed; PESQ omitted"
+        averages["pesq_note"] = "native P.862 implementation (no pip pesq installed)"
     print(json.dumps(averages, indent=2))
     if args.output_json:
         Path(args.output_json).write_text(json.dumps(averages, indent=2))

@@ -26,7 +26,7 @@ def _prepare(ref: np.ndarray, deg: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def calculate_pesq_wb_nb(
     ref: np.ndarray, deg: np.ndarray, sample_rate: int = 16000
 ) -> Tuple[Optional[float], Optional[float]]:
-    """(PESQ-WB, PESQ-NB); None when the pesq package is unavailable."""
+    """(PESQ-WB, PESQ-NB); ITU wrapper when installed, else native P.862."""
     ref, deg = _prepare(ref, deg)
     return (
         M.pesq_score(ref, deg, sample_rate, "wb"),
