@@ -1,9 +1,16 @@
 """Corpus throughput/reconstruction CLI: directory -> WAVs + RTF/bitrate stats.
 
 Drives ``eval/corpus.py`` (length-bucketed fixed-shape batches, optional
-data-parallel mesh, process-sharded file lists).  Combine with
-``tools/base_eval/evaluate_model.py`` for objective quality metrics over the
-produced reconstructions.
+data-parallel mesh, process-sharded file lists).
+
+``--full-report`` runs the ENTIRE evaluation chain as one pipeline —
+corpus round trip, then objective quality (STOI, PESQ-WB/NB, SI-SNR, LSD,
+MCD) over the (original, reconstructed) pairs, plus the availability status
+of every weight-gated metric (WER ASR, UTMOS, speaker SIM) — and emits one
+consolidated JSON.  With ``--synthetic N`` it first generates an
+N-utterance synthetic ``.flac`` corpus (in-repo FLAC encoder), so the whole
+chain is runnable in CI with zero external data; the recorded artifact
+lives at ``docs/CORPUS_REPORT.json``.
 """
 
 import argparse
@@ -18,12 +25,92 @@ from simwhisper_codec_tpu.models.codec import AudioCodec
 from simwhisper_codec_tpu.utils.audio_io import set_logging
 
 
+def make_synthetic_corpus(out_dir: Path, n: int, seed: int = 0) -> None:
+    """N speech-like utterances (1-4 s, varied f0/envelope) as 16 kHz flac."""
+    import numpy as np
+
+    from simwhisper_codec_tpu.utils.flac import write_flac
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sr = 16000
+    for i in range(n):
+        dur = rng.uniform(1.0, 4.0)
+        t = np.arange(int(sr * dur)) / sr
+        f0 = rng.uniform(90, 240) + 25 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+        sig = sum(np.sin(2 * np.pi * h * np.cumsum(f0) / sr + rng.uniform(0, 6)) / h
+                  for h in range(1, 12))
+        env = np.clip(np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t
+                             + rng.uniform(0, 6)), 0, None) ** 2
+        wav = sig * env * 0.15 + 0.002 * rng.standard_normal(len(t))
+        write_flac(out_dir / f"synt{i:03d}.flac",
+                   np.clip(wav * 32768, -32768, 32767).astype(np.int64), sr)
+
+
+def quality_report(input_dir: str, output_dir: str, limit=None) -> dict:
+    """Pair originals/reconstructions by stem and average objective metrics."""
+    import numpy as np
+
+    from simwhisper_codec_tpu.eval import metrics as M
+    from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
+
+    recon = {Path(p).stem: p for p in find_audio_files(output_dir)}
+    sums, counts = {}, {}
+    n_pairs = 0
+    for orig_path in find_audio_files(input_dir)[: limit or None]:
+        stem = Path(orig_path).stem
+        if stem not in recon:
+            continue
+        ref = load_audio(orig_path, 16000)
+        deg = load_audio(recon[stem], 16000)
+        m = min(len(ref), len(deg))
+        ref, deg = np.clip(ref[:m], -1, 1), np.clip(deg[:m], -1, 1)
+        vals = {
+            "stoi": M.stoi(ref, deg, 16000),
+            "pesq_wb": M.pesq_score(ref, deg, 16000, "wb"),
+            "pesq_nb": M.pesq_score(ref, deg, 16000, "nb"),
+            "si_snr": M.si_snr(ref, deg),
+            "lsd": M.log_spectral_distance(ref, deg),
+            "mcd": M.mel_cepstral_distortion(ref, deg, 16000),
+        }
+        n_pairs += 1
+        for k, v in vals.items():
+            if v is None or not np.isfinite(v):
+                continue
+            sums[k] = sums.get(k, 0.0) + float(v)
+            counts[k] = counts.get(k, 0) + 1
+    out = {k: round(sums[k] / counts[k], 4) for k in sums}
+    out["num_pairs"] = n_pairs
+    out["pesq_impl"] = "itu-wrapper" if M.have_pesq() else "native-p862"
+    return out
+
+
+def gated_metric_status() -> dict:
+    """Which weight-gated metrics can run in this environment, and why not."""
+    from simwhisper_codec_tpu.eval.wer import have_asr
+
+    status = {}
+    status["wer"] = ("available" if have_asr()
+                     else "gated: HuBERT-CTC weights not in local HF cache")
+    try:
+        from transformers import AutoConfig
+
+        AutoConfig.from_pretrained("microsoft/wavlm-large", local_files_only=True)
+        status["speaker_sim"] = "available (needs --ecapa_checkpoint for the trunk)"
+    except Exception:
+        status["speaker_sim"] = "gated: WavLM-large weights not in local HF cache"
+    status["utmos"] = "gated: needs a lightning UTMOS checkpoint (tools/utmos)"
+    return status
+
+
 def main() -> None:
     set_logging()
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", default="config/SimWhisperCodec.yaml")
-    p.add_argument("--checkpoint_path", required=True)
-    p.add_argument("--input_dir", required=True)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--allow_random", action="store_true",
+                   help="random weights from --config_path (pipeline smoke runs)")
+    p.add_argument("--input_dir", default=None)
     p.add_argument("--output_dir", default=None)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--overlap_seconds", type=int, default=10)
@@ -33,6 +120,12 @@ def main() -> None:
     p.add_argument("--device", default=None)
     p.add_argument("--codebook_stats", action="store_true",
                    help="also report code usage/entropy diagnostics")
+    p.add_argument("--full-report", dest="full_report", action="store_true",
+                   help="append objective quality metrics + gated-metric status")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="generate an N-utterance synthetic flac corpus as input")
+    p.add_argument("--report_json", default=None,
+                   help="also write the consolidated report to this path")
     args = p.parse_args()
 
     if args.device:
@@ -40,12 +133,37 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.device)
 
-    codec = AudioCodec.load_from_checkpoint(
-        args.config_path, args.checkpoint_path,
-        batch_size=args.batch_size, mode=args.mode, data_parallel=args.data_parallel,
-    )
+    if args.synthetic:
+        if not args.output_dir:
+            p.error("--synthetic requires --output_dir")
+        args.input_dir = str(Path(args.output_dir) / "synthetic_corpus")
+        make_synthetic_corpus(Path(args.input_dir), args.synthetic)
+    elif not args.input_dir:
+        p.error("--input_dir is required (or use --synthetic N)")
+    if args.full_report and not args.output_dir:
+        p.error("--full-report requires --output_dir")
+
+    if args.allow_random:
+        import jax as _jax
+
+        from simwhisper_codec_tpu.config import load_config
+        from simwhisper_codec_tpu.models.codec import init_params
+
+        cfg = load_config(args.config_path)
+        codec = AudioCodec(cfg, init_params(_jax.random.PRNGKey(0), cfg),
+                           batch_size=args.batch_size, mode=args.mode,
+                           data_parallel=args.data_parallel)
+    else:
+        if not args.checkpoint_path:
+            p.error("--checkpoint_path is required (or use --allow_random)")
+        codec = AudioCodec.load_from_checkpoint(
+            args.config_path, args.checkpoint_path,
+            batch_size=args.batch_size, mode=args.mode, data_parallel=args.data_parallel,
+        )
+    recon_dir = (str(Path(args.output_dir) / "reconstructed")
+                 if args.full_report else args.output_dir)
     stats = evaluate_corpus(
-        codec, args.input_dir, args.output_dir,
+        codec, args.input_dir, recon_dir,
         batch_size=args.batch_size, overlap_seconds=args.overlap_seconds, limit=args.limit,
     )
     if args.codebook_stats:
@@ -58,7 +176,15 @@ def main() -> None:
         stats["codebook"] = corpus_codebook_stats(
             codec, paths, overlap_seconds=args.overlap_seconds, batch_size=args.batch_size
         )
-    print(json.dumps(stats, indent=2))
+    if args.full_report:
+        stats["quality"] = quality_report(args.input_dir, recon_dir, args.limit)
+        stats["gated_metrics"] = gated_metric_status()
+        stats["mode"] = args.mode
+        stats["weights"] = "random" if args.allow_random else args.checkpoint_path
+    out = json.dumps(stats, indent=2)
+    print(out)
+    if args.report_json:
+        Path(args.report_json).write_text(out)
 
 
 if __name__ == "__main__":
