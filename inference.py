@@ -34,7 +34,7 @@ def main() -> None:
     parser.add_argument("--output_dir", type=str, default="output_wavs")
     parser.add_argument("--overlap_seconds", type=int, default=10)
     parser.add_argument("--precision", type=str, default="highest", choices=["highest", "default"])
-    parser.add_argument("--mode", type=str, default="parity", choices=["parity", "fast", "fast-int8"],
+    parser.add_argument("--mode", type=str, default="parity", choices=["parity", "fast", "fast-int8", "fast-int8-full"],
                         help="parity: f32 bit-exact codes; fast: bf16 serving path")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")

@@ -161,7 +161,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8300)
-    p.add_argument("--mode", default="fast", choices=["fast", "fast-int8", "parity"])
+    p.add_argument("--mode", default="fast", choices=["fast", "fast-int8", "fast-int8-full", "parity"])
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--window_ms", type=float, default=5.0)
     p.add_argument("--device", default=None)

@@ -207,12 +207,16 @@ class AudioCodec:
         blockwise kernel; requires a backend with Mosaic support — the
         tunneled axon platform does not compile it).
 
-        mode "fast-int8": the fast path with dynamic-int8 transformer FFNs
-        (ops/quant.py).  Codes agree with the bf16 path at ~97%; measured
-        end-to-end it does NOT yet beat "fast" on v5e (the XLA int8 path
-        breaks the Pallas LN+FFN fusion — docs/TPU_NOTES.md).  Kept as the
-        substrate for a fused int8 kernel."""
-        if mode in ("fast", "fast-int8"):
+        mode "fast-int8": bf16 encode + int8 decode — the decode side
+        (decoder FFNs + Vocos pointwise, 72% of round-trip FLOPs) runs the
+        fused Pallas int8 kernels while the tokenize program stays bf16, so
+        the code indices are BIT-IDENTICAL to mode="fast" (codes are produced
+        entirely by the encode path) at most of the int8 speed win.
+
+        mode "fast-int8-full": int8 on both sides (max throughput; codes
+        agree with bf16 at ~97% — the naive-dynamic-quant encoder is the
+        sensitive stack, docs/TPU_NOTES.md round-3 sweep)."""
+        if mode in ("fast", "fast-int8", "fast-int8-full"):
             fastkw = fast_mode_settings()
             cfg = dataclasses.replace(cfg, compute_dtype=fastkw["compute_dtype"])
             precision = "default"
@@ -227,22 +231,27 @@ class AudioCodec:
         self.mesh = None
         self._data_sharding = None
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-        ffn_impl = None
+        ffn_impl = None        # tokenize-side FFN impl
+        detok_ffn_impl = None  # detokenize-side FFN impl
         int8_vocos = None
-        if mode == "fast-int8":
+        if mode in ("fast-int8", "fast-int8-full"):
             from simwhisper_codec_tpu.ops.quant import (
                 quantize_stacked_convnext,
                 quantize_stacked_ffn,
             )
 
             params = dict(params)
-            for part in ("encoder", "decoder"):
+            int8_parts = (("encoder", "decoder") if mode == "fast-int8-full"
+                          else ("decoder",))
+            for part in int8_parts:
                 params[part] = dict(params[part])
                 params[part]["layers"] = quantize_stacked_ffn(params[part]["layers"])
             params["vocos"] = dict(params["vocos"])
             params["vocos"]["blocks"] = quantize_stacked_convnext(params["vocos"]["blocks"])
             fk = fast_mode_settings()
-            ffn_impl = fk["int8_ffn_impl"]
+            detok_ffn_impl = fk["int8_ffn_impl"]
+            if mode == "fast-int8-full":
+                ffn_impl = fk["int8_ffn_impl"]
             int8_vocos = fk["int8_vocos"]
         if data_parallel and len(jax.devices()) > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -267,7 +276,8 @@ class AudioCodec:
 
         # fused Pallas kernels only where Mosaic compiles them; the CPU
         # backend would fall back to the (slow) interpreter
-        fused = mode in ("fast", "fast-int8") and jax.default_backend() != "cpu"
+        fused = (mode in ("fast", "fast-int8", "fast-int8-full")
+                 and jax.default_backend() != "cpu")
         # trace_counts[name] increments each time jit (re)traces that program:
         # the public observability hook for "how many executables exist"
         # (fixed-shape padding should keep it at 1 per direction)
@@ -292,7 +302,7 @@ class AudioCodec:
                 "detokenize",
                 partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
                         fused_vocos=(int8_vocos if int8_vocos is not None else fused),
-                        fused_ffn=fused, ffn_impl=ffn_impl),
+                        fused_ffn=fused, ffn_impl=detok_ffn_impl or ffn_impl),
             )
         )
 

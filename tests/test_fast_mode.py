@@ -66,21 +66,31 @@ def test_fast_mode_settings_is_single_source_of_truth():
 
 @pytest.mark.slow  # >15 s on the 1-CPU CI host; full tier runs it
 def test_fast_int8_mode_round_trip():
-    """Dynamic-int8 FFN serving mode: runs end-to-end, codes mostly agree
-    with the f32 parity path (same yardstick as the bf16 fast mode)."""
+    """int8 serving modes.
+
+    fast-int8 (bf16 encode + int8 decode): codes BIT-IDENTICAL to the bf16
+    fast path — the quantized stacks all sit after the quantizer.
+    fast-int8-full (int8 both sides): codes mostly agree with parity.
+    """
     import jax
 
     params = init_params(jax.random.PRNGKey(0), TINY)
     parity = AudioCodec(TINY, params, mode="parity")
+    fast = AudioCodec(TINY, params, mode="fast")
     q = AudioCodec(TINY, params, mode="fast-int8")
+    qf = AudioCodec(TINY, params, mode="fast-int8-full")
     rng = np.random.default_rng(1)
     wavs = [(rng.standard_normal(32000) * 0.1).astype(np.float32)]
 
     enc_p = parity.encode(wavs, overlap_seconds=10)["codes_list"]
+    enc_f = fast.encode(wavs, overlap_seconds=10)["codes_list"]
     enc_q = q.encode(wavs, overlap_seconds=10)["codes_list"]
-    assert enc_p[0].shape == enc_q[0].shape
-    agree = float(np.mean(enc_p[0] == enc_q[0]))
-    assert agree > 0.85, f"int8 code agreement too low: {agree}"
+    enc_qf = qf.encode(wavs, overlap_seconds=10)["codes_list"]
+    np.testing.assert_array_equal(np.asarray(enc_q[0]), np.asarray(enc_f[0]))
+    agree_full = float(np.mean(np.asarray(enc_p[0]) == np.asarray(enc_qf[0])))
+    assert agree_full > 0.85, f"full-int8 code agreement too low: {agree_full}"
 
     dec = q.decode(enc_q, overlap_seconds=10)["syn_wav_list"]
     assert np.isfinite(dec[0]).all()
+    dec_f = qf.decode(enc_qf, overlap_seconds=10)["syn_wav_list"]
+    assert np.isfinite(dec_f[0]).all()

@@ -115,7 +115,7 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--overlap_seconds", type=int, default=10)
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--mode", default="fast", choices=["fast", "fast-int8", "parity"])
+    p.add_argument("--mode", default="fast", choices=["fast", "fast-int8", "fast-int8-full", "parity"])
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--device", default=None)
     p.add_argument("--codebook_stats", action="store_true",
