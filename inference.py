@@ -36,6 +36,8 @@ def main() -> None:
     parser.add_argument("--precision", type=str, default="highest", choices=["highest", "default"])
     parser.add_argument("--mode", type=str, default="parity", choices=["parity", "fast", "fast-int8", "fast-int8-full"],
                         help="parity: f32 bit-exact codes; fast: bf16 serving path")
+    parser.add_argument("--aot_dir", type=str, default=None,
+                        help="AOT executable cache dir (warm session start)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
     args = parser.parse_args()
@@ -48,7 +50,7 @@ def main() -> None:
     generator = AudioCodec.load_from_checkpoint(
         config_path=args.config_path, ckpt_path=args.checkpoint_path,
         batch_size=args.batch_size, precision=args.precision,
-        mode=args.mode, data_parallel=args.data_parallel,
+        mode=args.mode, data_parallel=args.data_parallel, aot_dir=args.aot_dir,
     )
 
     audio_paths = find_audio_files(input_dir=args.input_dir)

@@ -165,6 +165,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--window_ms", type=float, default=5.0)
     p.add_argument("--device", default=None)
+    p.add_argument("--aot_dir", default=None,
+                   help="AOT executable cache dir (warm session start; "
+                        "also via SIMWHISPER_AOT_DIR)")
     args = p.parse_args(argv)
 
     if args.device:
@@ -174,7 +177,8 @@ def main(argv=None):
 
     from simwhisper_codec_tpu.models.codec import AudioCodec
 
-    codec = AudioCodec.load_from_checkpoint(args.config, args.checkpoint, mode=args.mode)
+    codec = AudioCodec.load_from_checkpoint(args.config, args.checkpoint,
+                                            mode=args.mode, aot_dir=args.aot_dir)
     # warm the compiled programs so first requests aren't compile-bound
     warm = [np.zeros(16000, np.float32)]
     codec.decode(codec.encode(warm)["codes_list"])

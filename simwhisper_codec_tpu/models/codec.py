@@ -200,6 +200,7 @@ class AudioCodec:
         mode: str = "parity",
         attn_impl: Optional[str] = None,
         data_parallel: bool = False,
+        aot_dir: Optional[str] = None,
     ):
         """mode: "parity" (f32, HIGHEST matmuls — bit-exact codes vs the
         reference) or "fast" (bf16 compute, default-precision matmuls — the
@@ -290,20 +291,34 @@ class AudioCodec:
 
             return wrapped
 
-        self._tokenize = jax.jit(
-            _counted(
-                "tokenize",
-                partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                        fused_ffn=fused, ffn_impl=ffn_impl),
-            )
+        # AOT warm start (utils/aot.py): opt in with aot_dir or the
+        # SIMWHISPER_AOT_DIR env var — serialized executables skip the
+        # per-session XLA compile entirely (the std compilation cache hangs
+        # on tunneled backends; docs/TPU_NOTES.md)
+        import os
+
+        aot_dir = aot_dir or os.environ.get("SIMWHISPER_AOT_DIR") or None
+        fingerprint = repr((cfg, mode, self._attn_impl, precision, batch_size,
+                            data_parallel))
+
+        def _build(name, fn):
+            if aot_dir:
+                from simwhisper_codec_tpu.utils.aot import warm_jit
+
+                return warm_jit(_counted(name, fn), aot_dir=aot_dir, tag=name,
+                                fingerprint=fingerprint)
+            return jax.jit(_counted(name, fn))
+
+        self._tokenize = _build(
+            "tokenize",
+            partial(tokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                    fused_ffn=fused, ffn_impl=ffn_impl),
         )
-        self._detokenize = jax.jit(
-            _counted(
-                "detokenize",
-                partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
-                        fused_vocos=(int8_vocos if int8_vocos is not None else fused),
-                        fused_ffn=fused, ffn_impl=detok_ffn_impl or ffn_impl),
-            )
+        self._detokenize = _build(
+            "detokenize",
+            partial(detokenize, cfg, self.consts, precision=prec, attn_impl=self._attn_impl,
+                    fused_vocos=(int8_vocos if int8_vocos is not None else fused),
+                    fused_ffn=fused, ffn_impl=detok_ffn_impl or ffn_impl),
         )
 
     # -- single-chunk paths (parity with inference_tokenize/detokenize) -----
