@@ -67,6 +67,8 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--device", default=None)
+    p.add_argument("--aot_dir", default=None,
+                   help="AOT executable cache (skips the ~15 min GAN-step compile)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices (DP)")
     args = p.parse_args(argv)
@@ -130,7 +132,18 @@ def main(argv=None) -> None:
         state = codec_gan.CodecGanState(**restored)
         logger.info("resumed from %s at step %d", args.resume, int(state.step))
 
-    step_fn = jax.jit(codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx))
+    raw_step = codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx)
+    if args.aot_dir:
+        # the full-size adversarial step compiles ~15.5 min through the
+        # tunnel (docs/TPU_NOTES.md); the serialized executable warm-starts
+        # later sessions in seconds
+        from simwhisper_codec_tpu.utils.aot import warm_jit
+
+        step_fn = warm_jit(raw_step, aot_dir=args.aot_dir, tag="codec_gan_step",
+                           fingerprint=repr((cfg, args.batch_size, args.segment_seconds,
+                                             args.learning_rate)))
+    else:
+        step_fn = jax.jit(raw_step)
     mel_arrays = mel_loss_arrays(mel_consts)
 
     data_sharding = None
