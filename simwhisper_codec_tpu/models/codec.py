@@ -173,7 +173,13 @@ def fast_mode_settings(backend: str = None) -> dict:
     return {
         "compute_dtype": "bfloat16",
         "precision": jax.lax.Precision.DEFAULT,
-        "attn_impl": "chunked:1536:bf16",
+        # pflash = packed single-matmul QKV (XLA, peak MXU) + head-sliced
+        # Pallas attention core with zero transposes — the round-3 A/B
+        # winner: 2732x vs 2483x RT end-to-end at batch 16, codes agree with
+        # f32 parity at 97.6% (vs 97.45% for chunked-bf16), compile 28 s vs
+        # 344 s (docs/TPU_NOTES.md).  CPU backends keep the pure-XLA chunked
+        # path (interpret-mode Pallas would crawl).
+        "attn_impl": "pflash:768" if fused else "chunked:1536:bf16",
         "fused_ffn": fused,
         "fused_vocos": fused,
         # int8 serving (mode="fast-int8", ops/quant.py + fused kernel):

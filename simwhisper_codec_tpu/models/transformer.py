@@ -217,7 +217,14 @@ def transformer_layer(
     derives from ``fused_ffn`` for backward compatibility.
     """
     h = layer_norm(p["attn_ln"], x)
-    if attn_impl == "flash":
+    if attn_impl.startswith("pflash"):
+        from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_pflash
+
+        parts = attn_impl.split(":")
+        block_q = int(parts[1]) if len(parts) > 1 else 256
+        x = x + varlen_attention_pflash(p, h, lengths, num_heads,
+                                        block_q=block_q)
+    elif attn_impl == "flash":
         from simwhisper_codec_tpu.ops.flash_attention import varlen_attention_flash
 
         x = x + varlen_attention_flash(p, h, lengths, num_heads)

@@ -105,6 +105,147 @@ def flash_attention(
     return out.reshape(b, h, t_pad, d)[:, :, :t, :]
 
 
+def _pflash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
+                   head_dim: int):
+    """One (batch, head-group, q-block) cell on head-group slices of packed QKV.
+
+    Mosaic requires block last dims divisible by 128, so the block carries a
+    group of heads (2 x 64 for the Whisper shape); the group unrolls inside.
+    """
+    seq_len = len_ref[pl.program_id(0), 0]
+
+    qg = q_ref[0]  # (block_q, G*hd), pre-scaled
+    kg = k_ref[0]  # (T, G*hd)
+    vg = v_ref[0]  # (T, G*hd)
+    t = kg.shape[0]
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (qg.shape[0], t), dimension=1)
+    valid = key_pos < seq_len
+
+    outs = []
+    for g in range(heads_per_block):
+        sl = slice(g * head_dim, (g + 1) * head_dim)
+        scores = jax.lax.dot_general(
+            qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, T)
+        scores = jnp.where(valid, scores + 1.0, jnp.float32(NEG_BIG))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e / s).astype(vg.dtype)
+        outs.append(jax.lax.dot_general(
+            p, vg[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    # one full-width aligned store for the whole head group
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    block_q: int = 256,
+    interpret: bool = False,
+    head_group: int = None,
+) -> jnp.ndarray:
+    """Attention core on a packed (B, T, 3D) QKV tensor, zero transposes.
+
+    The kernel's block index maps slice each head-group's q/k/v column range
+    directly out of the packed projection output ((B, T, [q|k|v]*D) layout),
+    and each output block writes its group's column slice of the (B, T, D)
+    result — so the surrounding graph never materializes a (B, H, T, hd)
+    transpose in either direction.  Heads are grouped so the block's last dim
+    is a 128 multiple (Mosaic tiling constraint).  Grid (B, H/G, T/block_q)
+    with the q-block axis fastest: K/V group blocks stay VMEM-resident
+    across q blocks.
+
+    q must already be scaled and biased; masking semantics are the
+    VarLenAttention additive bias (+1.0 valid keys / f32-min invalid).
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    if head_group is not None:
+        group = head_group  # explicit override (tests exercise grouped paths)
+    elif interpret:
+        group = 1  # the interpreter has no tiling constraint (tiny test shapes)
+    else:
+        group = max(1, 128 // hd) if hd < 128 else 1
+        if num_heads % group or (hd * group) % 128:
+            raise ValueError(f"cannot 128-align heads: hd={hd}, heads={num_heads}")
+    gd = hd * group
+    n_groups = num_heads // group
+    t_pad = -(-t // block_q) * block_q
+    if t_pad != t:
+        # pad time; padded key rows are masked by the length bias
+        qkv = jnp.pad(qkv, [(0, 0), (0, t_pad - t), (0, 0)])
+
+    lens = lengths.astype(jnp.int32).reshape(b, 1)
+    grid = (b, n_groups, t_pad // block_q)
+    kernel = functools.partial(_pflash_kernel, heads_per_block=group,
+                               head_dim=hd)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb, h, i: (0, 0), memory_space=pltpu.SMEM),
+            # q block: rows [i*block_q, ...), cols [h*gd, ...)
+            pl.BlockSpec((1, block_q, gd), lambda bb, h, i: (bb, i, h)),
+            # k group block: cols [D + h*gd, ...)
+            pl.BlockSpec((1, t_pad, gd),
+                         lambda bb, h, i, _n=n_groups: (bb, 0, _n + h)),
+            # v group block: cols [2D + h*gd, ...)
+            pl.BlockSpec((1, t_pad, gd),
+                         lambda bb, h, i, _n=n_groups: (bb, 0, 2 * _n + h)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gd), lambda bb, h, i: (bb, i, h)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), qkv.dtype),
+        interpret=interpret,
+    )(lens, qkv, qkv, qkv)
+
+    return out[:, :t, :]
+
+
+def varlen_attention_pflash(
+    p: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_heads: int,
+    precision=jax.lax.Precision.DEFAULT,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full attention sublayer: packed single-matmul QKV (XLA, peak MXU) ->
+    Pallas head-sliced attention core (no transposes) -> XLA output proj.
+
+    The round-2 A/Bs showed packed QKV wins 44% isolated and the flash core
+    wins 2x per layer isolated, but each lost end-to-end when paired with the
+    other half in XLA; this combines both wins and removes the (B,H,T,hd)
+    transposes that sank the original flash path.
+    """
+    b, t, d = x.shape
+    hd = d // num_heads
+    scale = hd ** -0.5
+    w = jnp.concatenate(
+        [p["q"]["w"] * scale, p["k"]["w"], p["v"]["w"]], axis=-1
+    ).astype(x.dtype)
+    bias = jnp.concatenate(
+        [p["q"]["b"] * scale, jnp.zeros_like(p["q"]["b"]), p["v"]["b"]], axis=-1
+    ).astype(x.dtype)
+    qkv = (jnp.matmul(x.reshape(b * t, d), w, precision=precision)
+           .reshape(b, t, 3 * d) + bias)
+    o = fused_qkv_attention(qkv, lengths, num_heads, block_q=block_q,
+                            interpret=interpret)
+    o2 = jnp.matmul(o.reshape(b * t, d), p["o"]["w"].astype(x.dtype),
+                    precision=precision)
+    return o2.reshape(b, t, d) + p["o"]["b"].astype(x.dtype)
+
+
 def varlen_attention_flash(
     p: dict,
     x: jnp.ndarray,
