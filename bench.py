@@ -106,7 +106,7 @@ def main() -> None:
     # optional int8 serving mode (fused Pallas int8 FFN/ConvNeXt): faster but
     # a second quality step below bf16 (codes ~97% agree) — reported as its
     # own field, not the headline
-    int8_x_realtime = int8_agreement = None
+    int8_x_realtime = int8_agreement = int8_mixed_x_realtime = None
     import signal
 
     def _int8_timeout(signum, frame):
@@ -141,6 +141,13 @@ def main() -> None:
             d = detok8(qparams, t["codes"], t["codes_lengths"], frame_valid)
             return accum(d["y"], a), t["codes"]
 
+        # mixed mode (mode="fast-int8"): bf16 tokenize + int8 detokenize —
+        # codes bit-identical to the bf16 path by construction
+        def round_trip8_mixed(w, a):
+            t = tok(params, w, lengths)
+            d = detok8(qparams, t["codes"], t["codes_lengths"], frame_valid)
+            return accum(d["y"], a)
+
         a8, codes8 = round_trip8(wav, jnp.zeros(()))
         assert np.isfinite(float(a8))
         codes_bf = tok(params, wav, lengths)["codes"]
@@ -151,6 +158,13 @@ def main() -> None:
             acc, _ = round_trip8(wav, acc)
         assert np.isfinite(float(acc))
         int8_x_realtime = round(audio_seconds / (time.perf_counter() - start), 2)
+        assert np.isfinite(float(round_trip8_mixed(wav, jnp.zeros(()))))
+        acc = jnp.zeros(())
+        start = time.perf_counter()
+        for _ in range(iters):
+            acc = round_trip8_mixed(wav, acc)
+        assert np.isfinite(float(acc))
+        int8_mixed_x_realtime = round(audio_seconds / (time.perf_counter() - start), 2)
     except Exception as e:  # int8 section is additive: never lose the JSON line
         print(f"int8 bench section failed: {e!r}", flush=True)
     finally:
@@ -179,6 +193,7 @@ def main() -> None:
                 "mfu": round(mfu, 4),
                 "int8_x_realtime": int8_x_realtime,
                 "int8_code_agreement_vs_bf16": int8_agreement,
+                "int8_mixed_x_realtime": int8_mixed_x_realtime,
             }
         )
     )
