@@ -94,3 +94,23 @@ def test_fast_int8_mode_round_trip():
     assert np.isfinite(dec[0]).all()
     dec_f = qf.decode(enc_qf, overlap_seconds=10)["syn_wav_list"]
     assert np.isfinite(dec_f[0]).all()
+
+
+@pytest.mark.slow  # interpret-mode Pallas on the tiny model, ~30 s
+def test_pflash_attn_impl_through_codec():
+    """attn_impl='pflash:64' wired through AudioCodec matches parity codes
+    (interpret-mode kernel on CPU; the TPU serving default is pflash:768)."""
+    import jax
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    parity = AudioCodec(TINY, params, mode="parity")
+    pf = AudioCodec(TINY, params, mode="fast", attn_impl="pflash:64")
+    rng = np.random.default_rng(2)
+    wavs = [(rng.standard_normal(24000) * 0.1).astype(np.float32)]
+
+    enc_p = parity.encode(wavs, overlap_seconds=10)["codes_list"]
+    enc_f = pf.encode(wavs, overlap_seconds=10)["codes_list"]
+    agree = float(np.mean(np.asarray(enc_p[0]) == np.asarray(enc_f[0])))
+    assert agree > 0.9, f"pflash codec-level agreement too low: {agree}"
+    dec = pf.decode(enc_f, overlap_seconds=10)["syn_wav_list"]
+    assert np.isfinite(dec[0]).all()
