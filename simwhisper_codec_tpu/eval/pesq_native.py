@@ -40,8 +40,6 @@ installed.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 __all__ = ["pesq", "pesq_raw", "mos_lqo_nb", "mos_lqo_wb"]
@@ -88,10 +86,6 @@ class _BarkModel:
         # bin -> band assignment (bands collect whole bins, like the standard)
         self.band_of_bin = np.digitize(freqs, self.edges_hz) - 1
         self.valid = (self.band_of_bin >= 0) & (self.band_of_bin < self.n_bands)
-        self.bins_per_band = np.bincount(
-            self.band_of_bin[self.valid], minlength=self.n_bands
-        ).astype(np.float64)
-        self.bins_per_band = np.maximum(self.bins_per_band, 1.0)
 
         # absolute threshold as band power on the internal scale: calibrate
         # the internal scale so that the level-aligned signal corresponds to
