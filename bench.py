@@ -110,10 +110,10 @@ def main() -> None:
     import signal
 
     def _int8_timeout(signum, frame):
-        raise TimeoutError("int8 bench section exceeded 480 s")
+        raise TimeoutError("int8 bench section exceeded 600 s")
 
     signal.signal(signal.SIGALRM, _int8_timeout)
-    signal.alarm(480)  # a tunnel hang here must not eat the whole bench
+    signal.alarm(600)  # a tunnel hang here must not eat the whole bench
     try:
       if not os.environ.get("BENCH_SKIP_INT8"):
         from simwhisper_codec_tpu.ops.quant import (
