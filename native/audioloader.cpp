@@ -320,8 +320,18 @@ bool flac_decode_subframe(FlacBitReader& br, int block_size, int bps,
 // Decode a whole FLAC stream to mono float (channel mean), like the WAV path.
 Wav decode_flac_buffer(const std::vector<uint8_t>& buf) {
   Wav out;
-  if (buf.size() < 42 || std::memcmp(buf.data(), "fLaC", 4) != 0) return out;
-  size_t pos = 4;
+  size_t pos = 0;
+  // skip prepended ID3v2 tags (syncsafe size), matching the Python decoder
+  while (pos + 10 <= buf.size() && std::memcmp(buf.data() + pos, "ID3", 3) == 0) {
+    size_t size = ((size_t)(buf[pos + 6] & 0x7F) << 21) |
+                  ((size_t)(buf[pos + 7] & 0x7F) << 14) |
+                  ((size_t)(buf[pos + 8] & 0x7F) << 7) |
+                  (size_t)(buf[pos + 9] & 0x7F);
+    pos += 10 + size;
+  }
+  if (pos + 42 > buf.size() || std::memcmp(buf.data() + pos, "fLaC", 4) != 0)
+    return out;
+  pos += 4;
   int si_rate = 0, si_channels = 0, si_bps = 0;
   uint64_t total_samples = 0;
   bool have_si = false, last = false;
@@ -537,7 +547,8 @@ long audioloader_load(const char* path, int target_rate, float** out) {
     uint8_t magic[4] = {0, 0, 0, 0};
     size_t got = std::fread(magic, 1, 4, f);
     std::fclose(f);
-    if (got == 4 && std::memcmp(magic, "fLaC", 4) == 0)
+    if (got == 4 && (std::memcmp(magic, "fLaC", 4) == 0 ||
+                     std::memcmp(magic, "ID3", 3) == 0))
       w = decode_flac_file(path);
     else
       w = decode_wav_file(path);

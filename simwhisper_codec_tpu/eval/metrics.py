@@ -223,10 +223,16 @@ def pesq_score(
     ref = _resample(np.asarray(reference, np.float64), sample_rate, rate)
     deg = _resample(np.asarray(degraded, np.float64), sample_rate, rate)
     m = min(len(ref), len(deg))
-    if have_pesq():
-        from pesq import pesq as _pesq
+    try:
+        if have_pesq():
+            from pesq import pesq as _pesq
 
-        return float(_pesq(rate, ref[:m], deg[:m], mode))
-    from simwhisper_codec_tpu.eval.pesq_native import pesq as _native_pesq
+            return float(_pesq(rate, ref[:m], deg[:m], mode))
+        from simwhisper_codec_tpu.eval.pesq_native import pesq as _native_pesq
 
-    return float(_native_pesq(rate, ref[:m], deg[:m], mode))
+        return float(_native_pesq(rate, ref[:m], deg[:m], mode))
+    except Exception:
+        # unscorable pair (e.g. < 250 ms, or no utterance detected): omit
+        # PESQ for this pair instead of aborting the corpus run — the same
+        # outward behavior the harness had when the pesq package was absent
+        return None

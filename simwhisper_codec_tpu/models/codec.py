@@ -287,7 +287,9 @@ class AudioCodec:
                  and jax.default_backend() != "cpu")
         # trace_counts[name] increments each time jit (re)traces that program:
         # the public observability hook for "how many executables exist"
-        # (fixed-shape padding should keep it at 1 per direction)
+        # (fixed-shape padding should keep it at 1 per direction).  On AOT
+        # warm starts the count stays 0 — the executable came from disk and
+        # was never traced in this process (warm_jit.source says which).
         self.trace_counts = {"tokenize": 0, "detokenize": 0}
 
         def _counted(name, fn):

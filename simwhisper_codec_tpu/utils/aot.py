@@ -29,6 +29,32 @@ import jax
 logger = logging.getLogger(__name__)
 
 
+_REPO_VERSION: Optional[str] = None
+
+
+def _repo_version() -> str:
+    """Current source identity (git HEAD), so artifacts invalidate on code
+    changes — without it a stale executable would silently serve pre-fix
+    numerics.  Falls back to the package dir mtime hash outside a checkout."""
+    global _REPO_VERSION
+    if _REPO_VERSION is None:
+        import subprocess
+
+        root = Path(__file__).resolve().parents[2]
+        try:
+            _REPO_VERSION = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
+                text=True, timeout=10, check=True,
+            ).stdout.strip()
+        except Exception:
+            stamps = sorted(
+                (p.name, p.stat().st_mtime_ns)
+                for p in (root / "simwhisper_codec_tpu").rglob("*.py")
+            )
+            _REPO_VERSION = hashlib.sha256(repr(stamps).encode()).hexdigest()[:16]
+    return _REPO_VERSION
+
+
 def _cache_key(tag: str, fingerprint: str, args, kwargs) -> str:
     import numpy as np
 
@@ -37,7 +63,7 @@ def _cache_key(tag: str, fingerprint: str, args, kwargs) -> str:
         (args, kwargs),
     )
     dev = jax.devices()[0]
-    blob = repr((tag, fingerprint, avals, jax.__version__,
+    blob = repr((tag, fingerprint, avals, jax.__version__, _repo_version(),
                  dev.device_kind, len(jax.devices()))).encode()
     return hashlib.sha256(blob).hexdigest()[:24]
 
@@ -81,40 +107,56 @@ class warm_jit:
         self._aot_dir = Path(aot_dir).expanduser() if aot_dir else None
         self._tag = tag
         self._fingerprint = fingerprint
-        self._compiled = None
-        self.source: Optional[str] = None  # "warm" | "cold" | None (plain jit)
+        self._by_key: dict = {}  # aval-signature key -> loaded executable
+        self.source: Optional[str] = None  # last resolve: "warm" | "cold"
 
-    def _resolve(self, args, kwargs):
-        key = _cache_key(self._tag, self._fingerprint, args, kwargs)
-        path = self._aot_dir / f"{self._tag}-{key}.jaxexe"
-        if path.exists():
-            try:
-                self._compiled = load_compiled(path)
-                self.source = "warm"
-                logger.info("AOT warm start for %s from %s", self._tag, path)
-                return
-            except Exception as e:
-                logger.warning("AOT artifact %s unusable (%s); recompiling", path, e)
-        lowered = self._jitted.lower(*args, **kwargs)
-        self._compiled = lowered.compile()
+    def _try_load(self, path: Path):
+        if not path.exists():
+            return None
+        try:
+            compiled = load_compiled(path)
+            logger.info("AOT warm start for %s from %s", self._tag, path)
+            return compiled
+        except Exception as e:
+            logger.warning("AOT artifact %s unusable (%s); recompiling", path, e)
+            return None
+
+    def _compile_fresh(self, path: Path, args, kwargs):
+        compiled = self._jitted.lower(*args, **kwargs).compile()
         self.source = "cold"
         try:
             self._aot_dir.mkdir(parents=True, exist_ok=True)
-            dump_compiled(self._compiled, path)
+            dump_compiled(compiled, path)
             logger.info("AOT artifact written: %s", path)
         except Exception as e:  # serialization unsupported on this backend
             logger.warning("executable serialization unavailable (%s)", e)
+        return compiled
 
     def __call__(self, *args, **kwargs):
         if self._aot_dir is None:
             return self._jitted(*args, **kwargs)
-        if self._compiled is None:
-            self._resolve(args, kwargs)
-        try:
-            return self._compiled(*args, **kwargs)
-        except Exception as e:
-            # aval mismatch vs the resolved executable: fall back to jit
-            logger.warning("AOT executable rejected the call (%s); using jit", e)
-            self._compiled = None
-            self._aot_dir = None
-            return self._jitted(*args, **kwargs)
+        # per-signature executables: a new batch shape resolves its own
+        # artifact instead of disabling AOT
+        key = _cache_key(self._tag, self._fingerprint, args, kwargs)
+        compiled = self._by_key.get(key)
+        if compiled is None:
+            path = self._aot_dir / f"{self._tag}-{key}.jaxexe"
+            compiled = self._try_load(path)
+            if compiled is not None:
+                self.source = "warm"
+                # validate the deserialized executable on its first call: a
+                # platform whose device topology can't execute the artifact
+                # (e.g. forced multi-device host platforms) raises here —
+                # recompile once and refresh the artifact.  Later calls run
+                # the executable directly, so real runtime errors propagate.
+                try:
+                    out = compiled(*args, **kwargs)
+                    self._by_key[key] = compiled
+                    return out
+                except Exception as e:
+                    logger.warning(
+                        "warm executable for %s not runnable here (%s); "
+                        "recompiling", self._tag, e)
+            compiled = self._compile_fresh(path, args, kwargs)
+            self._by_key[key] = compiled
+        return compiled(*args, **kwargs)

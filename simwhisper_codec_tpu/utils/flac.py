@@ -346,7 +346,9 @@ def _decode_frame(data: bytes, pos: int, si_bps: int, si_rate: int,
         chans = [_decode_subframe(br, block_size, bps) for _ in range(n_ch)]
     elif ch_code in (8, 9, 10):
         n_ch = 2
-        extra = (0, 1) if ch_code == 8 else ((1, 0) if ch_code == 9 else (0, 1))
+        # side channel carries +1 bit; it is subframe b except in
+        # right/side mode (spec: left/side = L,S; right/side = S,R; mid/side = M,S)
+        extra = (1, 0) if ch_code == 9 else (0, 1)
         a = _decode_subframe(br, block_size, bps + extra[0])
         b = _decode_subframe(br, block_size, bps + extra[1])
         if ch_code == 8:      # left/side
@@ -369,9 +371,16 @@ def _decode_frame(data: bytes, pos: int, si_bps: int, si_rate: int,
 
 
 def _parse_stream_header(data: bytes) -> Tuple[dict, int]:
-    if data[:4] != b"fLaC":
+    pos = 0
+    # taggers commonly prepend ID3v2 tags to .flac files; skip them
+    # (header: "ID3" ver(2) flags(1) syncsafe-size(4), then size bytes)
+    while data[pos:pos + 3] == b"ID3" and len(data) >= pos + 10:
+        size = ((data[pos + 6] & 0x7F) << 21) | ((data[pos + 7] & 0x7F) << 14) \
+            | ((data[pos + 8] & 0x7F) << 7) | (data[pos + 9] & 0x7F)
+        pos += 10 + size
+    if data[pos:pos + 4] != b"fLaC":
         raise FlacError("not a FLAC stream (missing fLaC magic)")
-    pos = 4
+    pos += 4
     info = None
     while True:
         if pos + 4 > len(data):
@@ -571,6 +580,21 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int,
         bw.write_signed(int(v), bps)
 
 
+def _write_utf8_number(bw: _BitWriter, value: int) -> None:
+    """UTF-8-style coded number, any frame index (1-6 bytes; decoder twin:
+    ``_read_utf8_number``)."""
+    if value < 0x80:
+        bw.write(value, 8)
+        return
+    n_extra = 1
+    while value >= (1 << (6 - n_extra)) << (6 * n_extra):
+        n_extra += 1
+    lead_prefix = (0xFF << (7 - n_extra)) & 0xFF
+    bw.write(lead_prefix | (value >> (6 * n_extra)), 8)
+    for i in range(n_extra - 1, -1, -1):
+        bw.write(0x80 | ((value >> (6 * i)) & 0x3F), 8)
+
+
 def encode_flac(pcm: np.ndarray, sample_rate: int, block_size: int = 4096,
                 bps: int = 16, stereo_mode: str = "independent",
                 force_verbatim: bool = False, use_lpc: bool = False,
@@ -579,6 +603,9 @@ def encode_flac(pcm: np.ndarray, sample_rate: int, block_size: int = 4096,
 
     ``stereo_mode``: independent | left_side | right_side | mid_side.
     """
+    if bps != 16:
+        raise FlacError("encode_flac writes 16-bit streams only (the frame "
+                        "header sample-size code is fixed to 16)")
     x = np.asarray(pcm)
     if x.dtype.kind == "f":
         x = np.clip(np.round(x * (1 << (bps - 1))), -(1 << (bps - 1)),
@@ -625,17 +652,7 @@ def encode_flac(pcm: np.ndarray, sample_rate: int, block_size: int = 4096,
             bw.write(n_ch - 1, 4)
         bw.write(4, 3)  # 16-bit
         bw.write(0, 1)
-        # UTF-8 frame number
-        fn = frame_no
-        if fn < 0x80:
-            bw.write(fn, 8)
-        elif fn < 0x800:
-            bw.write(0xC0 | (fn >> 6), 8)
-            bw.write(0x80 | (fn & 0x3F), 8)
-        else:
-            bw.write(0xE0 | (fn >> 12), 8)
-            bw.write(0x80 | ((fn >> 6) & 0x3F), 8)
-            bw.write(0x80 | (fn & 0x3F), 8)
+        _write_utf8_number(bw, frame_no)
         bw.write(bsz - 1, 16)
         header = bw.buf.copy()
         assert bw.nbits == 0

@@ -14,9 +14,10 @@ import json
 import sys
 from pathlib import Path
 
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import evaluator
 
 from simwhisper_codec_tpu.eval import metrics as M
 from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
@@ -39,30 +40,13 @@ def main() -> None:
         )
     pairs = list(zip(orig_files, synth_files))
 
-    sums: dict = {}
-    counts: dict = {}
+    rows = []
     for orig_path, synth_path in pairs:
         ref = load_audio(orig_path, target_sample_rate=args.sample_rate)
         deg = load_audio(synth_path, target_sample_rate=args.sample_rate)
-        m = min(len(ref), len(deg))
-        ref, deg = np.clip(ref[:m], -1, 1), np.clip(deg[:m], -1, 1)
+        rows.append(evaluator.pair_metrics(ref, deg, args.sample_rate))
 
-        results = {
-            "stoi": M.stoi(ref, deg, args.sample_rate),
-            "si_snr": M.si_snr(ref, deg),
-            "snr": M.snr(ref, deg),
-            "lsd": M.log_spectral_distance(ref, deg),
-            "mcd": M.mel_cepstral_distortion(ref, deg, args.sample_rate),
-        }
-        results["pesq_wb"] = M.pesq_score(ref, deg, args.sample_rate, "wb")
-        results["pesq_nb"] = M.pesq_score(ref, deg, args.sample_rate, "nb")
-        for k, v in results.items():
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue
-            sums[k] = sums.get(k, 0.0) + v
-            counts[k] = counts.get(k, 0) + 1
-
-    averages = {k: sums[k] / counts[k] for k in sums}
+    averages = evaluator.average_metrics(rows)
     averages["num_pairs"] = len(pairs)
     if not M.have_pesq():
         averages["pesq_note"] = "native P.862 implementation (no pip pesq installed)"

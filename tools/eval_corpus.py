@@ -48,39 +48,25 @@ def make_synthetic_corpus(out_dir: Path, n: int, seed: int = 0) -> None:
 
 
 def quality_report(input_dir: str, output_dir: str, limit=None) -> dict:
-    """Pair originals/reconstructions by stem and average objective metrics."""
-    import numpy as np
+    """Pair originals/reconstructions by stem and average objective metrics
+    (the metric set lives in tools/base_eval/evaluator.py::pair_metrics,
+    shared with evaluate_model.py so the two harnesses cannot diverge)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "base_eval"))
+    import evaluator
 
     from simwhisper_codec_tpu.eval import metrics as M
     from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
 
     recon = {Path(p).stem: p for p in find_audio_files(output_dir)}
-    sums, counts = {}, {}
-    n_pairs = 0
+    rows = []
     for orig_path in find_audio_files(input_dir)[: limit or None]:
         stem = Path(orig_path).stem
         if stem not in recon:
             continue
-        ref = load_audio(orig_path, 16000)
-        deg = load_audio(recon[stem], 16000)
-        m = min(len(ref), len(deg))
-        ref, deg = np.clip(ref[:m], -1, 1), np.clip(deg[:m], -1, 1)
-        vals = {
-            "stoi": M.stoi(ref, deg, 16000),
-            "pesq_wb": M.pesq_score(ref, deg, 16000, "wb"),
-            "pesq_nb": M.pesq_score(ref, deg, 16000, "nb"),
-            "si_snr": M.si_snr(ref, deg),
-            "lsd": M.log_spectral_distance(ref, deg),
-            "mcd": M.mel_cepstral_distortion(ref, deg, 16000),
-        }
-        n_pairs += 1
-        for k, v in vals.items():
-            if v is None or not np.isfinite(v):
-                continue
-            sums[k] = sums.get(k, 0.0) + float(v)
-            counts[k] = counts.get(k, 0) + 1
-    out = {k: round(sums[k] / counts[k], 4) for k in sums}
-    out["num_pairs"] = n_pairs
+        rows.append(evaluator.pair_metrics(
+            load_audio(orig_path, 16000), load_audio(recon[stem], 16000), 16000))
+    out = {k: round(v, 4) for k, v in evaluator.average_metrics(rows).items()}
+    out["num_pairs"] = len(rows)
     out["pesq_impl"] = "itu-wrapper" if M.have_pesq() else "native-p862"
     return out
 
