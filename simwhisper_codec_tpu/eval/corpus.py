@@ -67,6 +67,8 @@ def evaluate_corpus(
     total_audio_seconds = 0.0
     codes_total = 0
     files_done = 0
+    warmup_seconds = None  # first batch = program compiles; split out so the
+    # steady-state RTF is meaningful on small corpora (BENCH covers peak)
     t0 = time.perf_counter()
     for batch_idx in batches:
         batch_wavs, kept_idx = [], []
@@ -84,6 +86,8 @@ def evaluate_corpus(
         total_audio_seconds += sum(len(w) for w in batch_wavs) / codec.input_sample_rate
         codes_total += sum(c.shape[-1] for c in enc["codes_list"])
         files_done += len(batch_wavs)
+        if warmup_seconds is None:
+            warmup_seconds = time.perf_counter() - t0
         if output_dir:
             for i, syn in zip(kept_idx, dec["syn_wav_list"]):
                 out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
@@ -91,12 +95,16 @@ def evaluate_corpus(
     elapsed = time.perf_counter() - t0
 
     frame_bits = bits_per_frame(codec.cfg.quantizer)  # 8 groups x log2(8*7*6*6) for the published config
+    steady = elapsed - (warmup_seconds or 0.0)
     stats = {
         "files": files_done,
         "skipped": len(errors),
         "audio_seconds": round(total_audio_seconds, 2),
         "wall_seconds": round(elapsed, 2),
         "x_realtime": round(total_audio_seconds / max(elapsed, 1e-9), 2),
+        "warmup_seconds": round(warmup_seconds or 0.0, 2),
+        "steady_x_realtime": round(
+            total_audio_seconds / steady, 2) if steady > 0.5 else None,
         "bitrate_bps": round(codes_total * frame_bits / max(total_audio_seconds, 1e-9), 1),
         "num_batches": len(batches),
     }
