@@ -284,8 +284,16 @@ def transformer_layer(
         h = jax.nn.gelu(h, approximate=False)
         h = jnp.matmul(h, p["fc2"]["w"].astype(x.dtype), precision=precision) + p["fc2"]["b"].astype(x.dtype)
         x = x + h.reshape(b, t, d)
-    if x.dtype in (jnp.float16, jnp.bfloat16):
-        # half-precision inf/nan clamp (modules.py:228-231)
+    if x.dtype == jnp.bfloat16:
+        # half-precision inf/nan clamp (modules.py:228-231).  For bf16,
+        # max - 1000 rounds back to max, so the reference's conditional
+        # "clamp only if any inf/nan" is exactly an unconditional clip
+        # (finite values unchanged, +-inf -> +-max, nan stays nan) — which
+        # drops the two full any(isinf)/any(isnan) reduction passes per layer.
+        clamp = float(jnp.finfo(x.dtype).max)
+        x = jnp.clip(x, -clamp, clamp)
+    elif x.dtype == jnp.float16:
+        # fp16: max - 1000 is representable, so the conditional matters
         clamp = float(jnp.finfo(x.dtype).max) - 1000.0
         bad = jnp.logical_or(jnp.any(jnp.isinf(x)), jnp.any(jnp.isnan(x)))
         x = jnp.where(bad, jnp.clip(x, -clamp, clamp), x)

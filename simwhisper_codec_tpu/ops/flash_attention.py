@@ -129,15 +129,22 @@ def _pflash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
             qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (block_q, T)
-        scores = jnp.where(valid, scores + 1.0, jnp.float32(NEG_BIG))
+        # softmax is shift-invariant, so the reference's +1.0 valid-key bias
+        # cancels — only the mask matters (fully-padded query rows still
+        # degrade to uniform attention, as in VarLenAttention)
+        scores = jnp.where(valid, scores, jnp.float32(NEG_BIG))
         m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        s = jnp.sum(e, axis=-1, keepdims=True)
-        p = (e / s).astype(vg.dtype)
-        outs.append(jax.lax.dot_general(
-            p, vg[:, sl], (((1,), (0,)), ((), ())),
+        # unnormalized weights go straight to the MXU; the 1/sum normalization
+        # is deferred to the (block_q, hd) output — T/hd x fewer elements than
+        # dividing the (block_q, T) probability block (the VPU passes over
+        # (block_q, T) f32 are this kernel's measured bottleneck)
+        e = jnp.exp(scores - m).astype(vg.dtype)
+        s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        o_un = jax.lax.dot_general(
+            e, vg[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        )
+        outs.append(o_un * (1.0 / s))
     # one full-width aligned store for the whole head group
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
