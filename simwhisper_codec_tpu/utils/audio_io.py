@@ -4,7 +4,8 @@ Reference: ``utils/helpers.py`` — load_audio (:77-93), save_audio (:95-103),
 find_audio_files (:105-111), set_logging (:60-75).
 
 The reference uses torchaudio; this framework keeps I/O torch-free on the
-host: stdlib ``wave`` for WAV PCM, soundfile if available for flac/mp3, and a
+host: stdlib ``wave`` for WAV PCM, the in-repo decoder for FLAC
+(utils/flac.py), the system libmpg123 for MP3 (utils/mp3.py), and a
 numpy implementation of torchaudio's default resampler (windowed-sinc
 polyphase, ``sinc_interp_hann``, lowpass_filter_width=6, rolloff=0.99 —
 ``torchaudio.functional.resample`` as called by ``utils/helpers.py:86-87``),
@@ -116,9 +117,10 @@ def _load_wav_stdlib(path: str) -> tuple:
 def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
     """Load audio -> mono float32 at target rate (helpers.py:77-93 semantics).
 
-    WAV via stdlib ``wave``; FLAC via the in-repo decoder (utils/flac.py) —
-    zero optional dependencies, so LibriSpeech-style flac corpora decode
-    everywhere; soundfile is only a last resort for other formats (mp3).
+    WAV via stdlib ``wave``; FLAC via the in-repo decoder (utils/flac.py);
+    MP3 via the system libmpg123 (utils/mp3.py) — the reference's full
+    extension surface (helpers.py:105-111) with zero pip dependencies;
+    soundfile is only a last resort for anything else.
     """
     path = str(path)
     data: Optional[np.ndarray] = None
@@ -132,6 +134,11 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
         from simwhisper_codec_tpu.utils.flac import read_flac
 
         data, sr = read_flac(path)
+    if data is None and path.lower().endswith(".mp3"):
+        from simwhisper_codec_tpu.utils import mp3
+
+        if mp3.have_mpg123():
+            data, sr = mp3.read_mp3(path)
     if data is None:
         try:
             import soundfile as sf
@@ -169,6 +176,14 @@ def probe_audio_length(path: str, target_sample_rate: int = 16000) -> int:
             info = probe_flac(path)
             if info["total_samples"]:
                 n, sr = info["total_samples"], info["sample_rate"]
+        except Exception:
+            n = None
+    elif path.lower().endswith(".mp3"):
+        try:
+            from simwhisper_codec_tpu.utils import mp3
+
+            if mp3.have_mpg123():
+                n, sr, _ch = mp3.probe_mp3(path)
         except Exception:
             n = None
     if n is not None:
