@@ -97,6 +97,10 @@ def _get_lame() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_int]
             lib.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                               ctypes.c_int]
+            if hasattr(lib, "lame_get_lametag_frame"):
+                lib.lame_get_lametag_frame.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+                lib.lame_get_lametag_frame.restype = ctypes.c_size_t
             _lame = lib
     return _lame
 
@@ -262,5 +266,14 @@ def write_mp3(path: str, wav: np.ndarray, sample_rate: int,
             f.write(out.raw[:nbytes])
             if ntail > 0:
                 f.write(tail.raw[:ntail])
+            # rewrite the first frame as a LAME/Xing tag so decoders trim the
+            # codec delay + padding (gapless): mpg123 then yields exactly n
+            # samples, matching the PCM that went in
+            if hasattr(lib, "lame_get_lametag_frame"):
+                tag = ctypes.create_string_buffer(8192)
+                ntag = lib.lame_get_lametag_frame(gfp, tag, len(tag))
+                if 0 < ntag <= len(tag):
+                    f.seek(0)
+                    f.write(tag.raw[:ntag])
     finally:
         lib.lame_close(gfp)

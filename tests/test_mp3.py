@@ -45,6 +45,9 @@ def test_mono_round_trip(tmp_path):
     assert rate == sr
     assert dec.dtype == np.float32
     assert dec.ndim == 1
+    # the fixture encoder writes the LAME/Xing tag, so mpg123's gapless
+    # trimming returns exactly the source sample count
+    assert len(dec) == len(wav)
     # lossy codec: demand near-perfect correlation, not sample equality
     assert _aligned_corr(wav, dec) > 0.99
 
