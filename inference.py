@@ -15,10 +15,10 @@ import numpy as np
 from simwhisper_codec_tpu.models.codec import AudioCodec
 from simwhisper_codec_tpu.utils.audio_io import (
     find_audio_files,
-    load_audio,
     save_audio,
     set_logging,
 )
+from simwhisper_codec_tpu.utils.native_loader import load_audio_batch
 
 
 def main() -> None:
@@ -65,10 +65,12 @@ def main() -> None:
             i // batch_size + 1, (len(audio_paths) + batch_size - 1) // batch_size, batch_paths,
         )
 
-        wav_list = [
-            load_audio(path, target_sample_rate=generator.input_sample_rate)
-            for path in batch_paths
-        ]
+        # multithreaded C++ decode for wav/flac (native/audioloader.cpp),
+        # Python decoders otherwise; failures raise, as the reference's
+        # torchaudio.load would (utils/helpers.py:77-93)
+        wav_list = load_audio_batch(
+            batch_paths, target_sample_rate=generator.input_sample_rate
+        )
         logging.info("Loaded %d files, lengths %s", len(wav_list), [len(w) for w in wav_list])
 
         encode_result = generator.encode(wav_list, overlap_seconds=args.overlap_seconds)

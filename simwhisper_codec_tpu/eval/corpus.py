@@ -21,10 +21,10 @@ from simwhisper_codec_tpu.models.codec import AudioCodec
 from simwhisper_codec_tpu.ops.fsq import bits_per_frame
 from simwhisper_codec_tpu.utils.audio_io import (
     find_audio_files,
-    load_audio,
     probe_audio_length,
     save_audio,
 )
+from simwhisper_codec_tpu.utils.native_loader import load_audio_batch
 from simwhisper_codec_tpu.utils.data import length_bucket_batches, shard_files_by_process
 
 logger = logging.getLogger(__name__)
@@ -71,14 +71,21 @@ def evaluate_corpus(
     # steady-state RTF is meaningful on small corpora (BENCH covers peak)
     t0 = time.perf_counter()
     for batch_idx in batches:
+        # multithreaded C++ decode for wav/flac, Python for the rest; per-file
+        # failures come back as None (skip, keep evaluating — the reference's
+        # per-file try/except semantics, evaluate_model.py:128-141)
+        loaded = load_audio_batch(
+            [paths[i] for i in batch_idx],
+            target_sample_rate=codec.input_sample_rate, on_error="none",
+        )
         batch_wavs, kept_idx = [], []
-        for i in batch_idx:
-            try:
-                batch_wavs.append(load_audio(paths[i], target_sample_rate=codec.input_sample_rate))
-                kept_idx.append(i)
-            except Exception as e:  # decode failure mid-corpus: skip the file
-                logger.warning("skipping undecodable file %s: %s", paths[i], e)
+        for i, wav in zip(batch_idx, loaded):
+            if wav is None:  # decode failure mid-corpus: skip the file
+                logger.warning("skipping undecodable file %s", paths[i])
                 errors.append(str(paths[i]))
+            else:
+                batch_wavs.append(wav)
+                kept_idx.append(i)
         if not batch_wavs:
             continue
         enc = codec.encode(batch_wavs, overlap_seconds=overlap_seconds)

@@ -230,6 +230,15 @@ class AudioCodec:
             # MXU-aligned single-block attention: same speed as dense, half
             # the compile time (Pallas flash needs a Mosaic-capable backend)
             self._attn_impl = attn_impl or fastkw["attn_impl"]
+            if attn_impl is None and self._attn_impl.startswith("pflash"):
+                from simwhisper_codec_tpu.ops.flash_attention import pflash_supported
+
+                enc, dec = cfg.acoustic_encoder, cfg.acoustic_decoder
+                if not (pflash_supported(enc.d_model, enc.encoder_attention_heads)
+                        and pflash_supported(dec.d_model, dec.decoder_attention_heads)):
+                    # head geometry can't 128-align (tiny configs): keep the
+                    # pure-XLA chunked path instead of a trace-time error
+                    self._attn_impl = "chunked:1536:bf16"
         else:
             self._attn_impl = attn_impl or "dense"
         self.mode = mode

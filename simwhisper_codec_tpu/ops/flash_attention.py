@@ -149,6 +149,16 @@ def _pflash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def pflash_supported(d_model: int, num_heads: int) -> bool:
+    """True when ``fused_qkv_attention`` can 128-align this head geometry
+    (Mosaic last-dim tiling constraint).  Production 768d/12h (hd=64) passes;
+    tiny test configs (e.g. hd=16 with 4 heads) cannot group to 128 and must
+    use an XLA attention path instead."""
+    hd = d_model // num_heads
+    group = max(1, 128 // hd) if hd < 128 else 1
+    return num_heads % group == 0 and (hd * group) % 128 == 0
+
+
 def fused_qkv_attention(
     qkv: jnp.ndarray,
     lengths: jnp.ndarray,

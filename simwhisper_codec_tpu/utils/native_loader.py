@@ -92,31 +92,51 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
 
 
 def load_audio_batch(
-    paths: List[str], target_sample_rate: int = 16000, num_threads: int = 0
+    paths: List[str], target_sample_rate: int = 16000, num_threads: int = 0,
+    on_error: str = "raise",
 ) -> List[np.ndarray]:
-    """Decode many files in parallel (native thread pool); Python fallback per-file."""
-    lib = get_lib()
-    if lib is None or not all(str(p).lower().endswith((".wav", ".flac")) for p in paths):
-        from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
+    """Decode many files in parallel (native thread pool), order-preserving.
 
-        return [py_load(p, target_sample_rate) for p in paths]
-
-    n = len(paths)
-    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-    outs = (ctypes.POINTER(ctypes.c_float) * n)()
-    lens = (ctypes.c_long * n)()
-    lib.audioloader_load_batch(c_paths, n, target_sample_rate, num_threads, outs, lens)
-
-    result = []
+    wav/flac go through the C++ loader; other formats (mp3) take the Python
+    path per-file, so mixed-format corpora still get native speed for the
+    native-decodable subset.  ``on_error="none"`` yields ``None`` for files
+    that fail to decode instead of raising — the per-file skip semantics the
+    corpus evaluator needs (reference behavior: ``evaluate_model.py:128-141``
+    skips unreadable pairs).
+    """
     from simwhisper_codec_tpu.utils.audio_io import load_audio as py_load
 
-    for i in range(n):
-        if lens[i] >= 0:
-            arr = np.ctypeslib.as_array(outs[i], shape=(lens[i],)).copy()
-            lib.audioloader_free(outs[i])
-            result.append(arr)
-        else:
-            result.append(py_load(paths[i], target_sample_rate))
+    def py(p):
+        try:
+            return py_load(p, target_sample_rate)
+        except Exception:
+            if on_error == "raise":
+                raise
+            logger.warning("skipping undecodable file %s", p, exc_info=True)
+            return None
+
+    lib = get_lib()
+    result: List[Optional[np.ndarray]] = [None] * len(paths)
+    native_idx = [
+        i for i, p in enumerate(paths) if str(p).lower().endswith((".wav", ".flac"))
+    ] if lib is not None else []
+
+    if native_idx:
+        n = len(native_idx)
+        c_paths = (ctypes.c_char_p * n)(*[str(paths[i]).encode() for i in native_idx])
+        outs = (ctypes.POINTER(ctypes.c_float) * n)()
+        lens = (ctypes.c_long * n)()
+        lib.audioloader_load_batch(c_paths, n, target_sample_rate, num_threads, outs, lens)
+        for j, i in enumerate(native_idx):
+            if lens[j] >= 0:
+                arr = np.ctypeslib.as_array(outs[j], shape=(lens[j],)).copy()
+                lib.audioloader_free(outs[j])
+                result[i] = arr
+            else:
+                result[i] = py(paths[i])  # the Python decoders may still manage
+    for i, p in enumerate(paths):
+        if result[i] is None and i not in native_idx:
+            result[i] = py(p)
     return result
 
 

@@ -114,3 +114,31 @@ def test_pflash_attn_impl_through_codec():
     assert agree > 0.9, f"pflash codec-level agreement too low: {agree}"
     dec = pf.decode(enc_f, overlap_seconds=10)["syn_wav_list"]
     assert np.isfinite(dec[0]).all()
+
+
+def test_pflash_geometry_fallback():
+    """Default fast mode must not trace-crash on head geometries the Pallas
+    core can't 128-align (e.g. hd=16 with 4 heads): AudioCodec falls back to
+    the chunked XLA path.  Production 768d/12h (hd=64) keeps pflash."""
+    from simwhisper_codec_tpu.models import codec as codec_mod
+    from simwhisper_codec_tpu.ops.flash_attention import pflash_supported
+
+    assert pflash_supported(768, 12)      # production geometry
+    assert not pflash_supported(64, 4)    # TINY: 128//16=8 doesn't divide 4
+
+    orig = codec_mod.fast_mode_settings
+    try:
+        # simulate the TPU serving default on the CPU test backend
+        codec_mod.fast_mode_settings = lambda backend=None: {
+            **orig("cpu"), "attn_impl": "pflash:768",
+        }
+        c = AudioCodec(TINY, init_params(
+            __import__("jax").random.PRNGKey(0), TINY), mode="fast")
+        assert c._attn_impl.startswith("chunked")
+        # explicit attn_impl is honored verbatim (tests drive interpret mode)
+        c2 = AudioCodec(TINY, init_params(
+            __import__("jax").random.PRNGKey(0), TINY), mode="fast",
+            attn_impl="pflash:64")
+        assert c2._attn_impl == "pflash:64"
+    finally:
+        codec_mod.fast_mode_settings = orig

@@ -71,3 +71,33 @@ def test_native_save_roundtrip(lib_available, tmp_path):
     nl.save_audio(str(p), x, 16000)
     y = py_load(str(p), 16000)
     assert np.abs(x - y).max() < 1e-3
+
+
+def test_batch_mixed_formats_and_error_tolerance(tmp_path):
+    """load_audio_batch splits wav/flac (native) from mp3 (Python), preserves
+    order, and with on_error='none' returns None for undecodable files —
+    the corpus evaluator's per-file skip semantics (eval/corpus.py)."""
+    from simwhisper_codec_tpu.utils import mp3
+
+    x = make_tone()
+    wav_p = tmp_path / "a.wav"
+    py_save(wav_p, x, 16000)
+    bad_p = tmp_path / "bad.wav"
+    bad_p.write_bytes(b"RIFFgarbage")
+    paths = [str(wav_p), str(bad_p)]
+    refs = {0: py_load(str(wav_p), 16000)}
+
+    if mp3.have_mpg123() and mp3.have_lame():
+        mp3_p = tmp_path / "c.mp3"
+        mp3.write_mp3(mp3_p, x, 16000)
+        paths.append(str(mp3_p))
+        refs[2] = py_load(str(mp3_p), 16000)
+
+    outs = nl.load_audio_batch(paths, 16000, on_error="none")
+    assert len(outs) == len(paths)
+    assert outs[1] is None  # corrupt file skipped, not raised
+    for i, ref in refs.items():
+        np.testing.assert_allclose(outs[i], ref, atol=1e-6)
+
+    with pytest.raises(Exception):
+        nl.load_audio_batch(paths, 16000, on_error="raise")
