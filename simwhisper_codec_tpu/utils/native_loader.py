@@ -134,8 +134,9 @@ def load_audio_batch(
                 result[i] = arr
             else:
                 result[i] = py(paths[i])  # the Python decoders may still manage
+    native_set = set(native_idx)
     for i, p in enumerate(paths):
-        if result[i] is None and i not in native_idx:
+        if result[i] is None and i not in native_set:
             result[i] = py(p)
     return result
 
