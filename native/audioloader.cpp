@@ -363,6 +363,9 @@ Wav decode_flac_buffer(const std::vector<uint8_t>& buf) {
   int sample_rate = si_rate;
 
   while (pos < buf.size()) {
+    // stop at STREAMINFO's sample count when known: tolerate trailing junk
+    // (e.g. an appended ID3v1 'TAG' block) like real decoders do
+    if (total_samples && mono.size() >= total_samples) break;
     FlacBitReader br(buf.data(), buf.size(), pos);
     if (br.read(14) != 0x3FFE) return out;
     if (br.read(1)) return out;

@@ -69,6 +69,8 @@ def evaluate_corpus(
     files_done = 0
     warmup_seconds = None  # first batch = program compiles; split out so the
     # steady-state RTF is meaningful on small corpora (BENCH covers peak)
+    warmup_audio_seconds = 0.0  # the first batch's audio must leave the
+    # steady numerator too, or steady RTF overstates on small corpora
     t0 = time.perf_counter()
     for batch_idx in batches:
         # multithreaded C++ decode for wav/flac, Python for the rest; per-file
@@ -95,6 +97,7 @@ def evaluate_corpus(
         files_done += len(batch_wavs)
         if warmup_seconds is None:
             warmup_seconds = time.perf_counter() - t0
+            warmup_audio_seconds = total_audio_seconds
         if output_dir:
             for i, syn in zip(kept_idx, dec["syn_wav_list"]):
                 out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
@@ -111,7 +114,8 @@ def evaluate_corpus(
         "x_realtime": round(total_audio_seconds / max(elapsed, 1e-9), 2),
         "warmup_seconds": round(warmup_seconds or 0.0, 2),
         "steady_x_realtime": round(
-            total_audio_seconds / steady, 2) if steady > 0.5 else None,
+            (total_audio_seconds - warmup_audio_seconds) / steady, 2
+        ) if steady > 0.5 and total_audio_seconds > warmup_audio_seconds else None,
         "bitrate_bps": round(codes_total * frame_bits / max(total_audio_seconds, 1e-9), 1),
         "num_batches": len(batches),
     }

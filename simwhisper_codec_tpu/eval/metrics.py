@@ -17,9 +17,12 @@ framework's runtime; instead:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
@@ -231,8 +234,10 @@ def pesq_score(
         from simwhisper_codec_tpu.eval.pesq_native import pesq as _native_pesq
 
         return float(_native_pesq(rate, ref[:m], deg[:m], mode))
-    except Exception:
+    except ValueError as e:
         # unscorable pair (e.g. < 250 ms, or no utterance detected): omit
         # PESQ for this pair instead of aborting the corpus run — the same
-        # outward behavior the harness had when the pesq package was absent
+        # outward behavior the harness had when the pesq package was absent.
+        # Anything other than ValueError is a real bug and must propagate.
+        logger.warning("PESQ unscorable pair (%s): omitted", e)
         return None

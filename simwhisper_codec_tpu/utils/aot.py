@@ -33,19 +33,27 @@ _REPO_VERSION: Optional[str] = None
 
 
 def _repo_version() -> str:
-    """Current source identity (git HEAD), so artifacts invalidate on code
-    changes — without it a stale executable would silently serve pre-fix
-    numerics.  Falls back to the package dir mtime hash outside a checkout."""
+    """Current source identity (git HEAD + a digest of any uncommitted diff),
+    so artifacts invalidate on code changes — without it a stale executable
+    would silently serve pre-fix numerics, including from a dirty working
+    tree.  Falls back to the package dir mtime hash outside a checkout."""
     global _REPO_VERSION
     if _REPO_VERSION is None:
         import subprocess
 
         root = Path(__file__).resolve().parents[2]
         try:
-            _REPO_VERSION = subprocess.run(
+            head = subprocess.run(
                 ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
                 text=True, timeout=10, check=True,
             ).stdout.strip()
+            diff = subprocess.run(
+                ["git", "diff", "HEAD"], cwd=root, capture_output=True,
+                text=True, timeout=10, check=True,
+            ).stdout
+            if diff:
+                head += "+" + hashlib.sha256(diff.encode()).hexdigest()[:12]
+            _REPO_VERSION = head
         except Exception:
             stamps = sorted(
                 (p.name, p.stat().st_mtime_ns)

@@ -133,12 +133,18 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
     if data is None and path.lower().endswith(".flac"):
         from simwhisper_codec_tpu.utils.flac import read_flac
 
-        data, sr = read_flac(path)
+        try:
+            data, sr = read_flac(path)
+        except Exception:  # unusual file: let the soundfile fallback try
+            data = None
     if data is None and path.lower().endswith(".mp3"):
         from simwhisper_codec_tpu.utils import mp3
 
         if mp3.have_mpg123():
-            data, sr = mp3.read_mp3(path)
+            try:
+                data, sr = mp3.read_mp3(path)
+            except Exception:
+                data = None
     if data is None:
         try:
             import soundfile as sf

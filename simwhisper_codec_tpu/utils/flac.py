@@ -425,9 +425,16 @@ def decode_flac(data: bytes, verify_crc: bool = True) -> Tuple[np.ndarray, int]:
     info, pos = _parse_stream_header(data)
     bps, rate = info["bps"], info["sample_rate"]
     chunks: List[np.ndarray] = []
+    decoded = 0
     while pos < len(data):
+        # stop at STREAMINFO's sample count when it is known: real decoders
+        # tolerate trailing junk (e.g. an appended ID3v1 'TAG' block) instead
+        # of raising 'bad frame sync' on it
+        if info["total_samples"] and decoded >= info["total_samples"]:
+            break
         samples, pos, rate = _decode_frame(data, pos, bps, rate, verify_crc)
         chunks.append(samples)
+        decoded += samples.shape[1]
     if not chunks:
         return np.zeros((0, info["channels"]), np.float32), rate
     pcm = np.concatenate(chunks, axis=1)  # (channels, n)

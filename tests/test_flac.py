@@ -162,3 +162,24 @@ def test_corpus_eval_runs_on_flac_dir(tmp_path):
     assert report["files"] == 2 and report["skipped"] == 0
     assert report["x_realtime"] > 0
     assert sorted(p.name for p in (tmp_path / "out").glob("*.wav")) == ["u0.wav", "u1.wav"]
+
+
+def test_trailing_junk_tolerated(tmp_path):
+    """Trailing bytes after the last frame (e.g. an ID3v1 'TAG' block) must
+    not fail the decode — real decoders stop at STREAMINFO total_samples."""
+    sig = speechlike(5000)
+    blob = F.encode_flac(sig, 16000)
+    junk = blob + b"TAG" + bytes(125)  # ID3v1 tag is exactly 128 bytes
+    out, rate = F.decode_flac(junk)
+    np.testing.assert_array_equal(out[:, 0], sig.astype(np.float32) / 32768.0)
+    assert rate == 16000
+
+    # the C++ twin must tolerate it identically
+    from simwhisper_codec_tpu.utils import native_loader
+
+    if native_loader.available():
+        p = tmp_path / "junk.flac"
+        p.write_bytes(junk)
+        native = native_loader.load_audio(str(p), 16000)
+        ref = load_audio(p, 16000)
+        np.testing.assert_allclose(native, ref, atol=1e-6)
