@@ -107,3 +107,47 @@ def test_matches_itu_pesq_if_available():
             got = pesq(rate, ref, deg, mode)
             worst = max(worst, abs(want - got))
     assert worst <= 0.35, worst
+
+
+class TestConformanceSuite:
+    """Deterministic conformance suite (tools/pesq_conformance.py): native
+    sanity pinned everywhere; the ITU A/B bound enforced wherever pip pesq
+    exists (docs/PESQ_CONFORMANCE.json records the recorded halves)."""
+
+    @pytest.fixture(scope="class")
+    def suite(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import pesq_conformance as pc
+
+        # one carrier keeps the suite fast in the core tier
+        carriers = pc.load_carriers()
+        name, x = next(iter(carriers.items()))
+        return pc, [(f"{name}/{d}", x, y) for d, y in pc.degradations(x, 16000).items()]
+
+    def test_native_sanity(self, suite):
+        pc, pairs = suite
+        scores = {pid.split("/", 1)[1]: pesq(16000, ref, deg, "wb")
+                  for pid, ref, deg in pairs}
+        assert scores["identity"] > 4.5
+        snr = [scores[f"awgn_{s}dB"] for s in (40, 30, 20, 10, 5)]
+        assert all(a > b for a, b in zip(snr, snr[1:])), snr
+        q = [scores[f"quant_{b}bit"] for b in (8, 5, 3)]
+        assert all(a > b for a, b in zip(q, q[1:])), q
+        # level shifts and small constant delay are compensated by P.862
+        assert abs(scores["level_-10dB"] - scores["identity"]) < 0.05
+        assert abs(scores["delay_8ms"] - scores["identity"]) < 0.1
+
+    def test_vs_itu_bound(self, suite):
+        """|native - ITU| bound over the degradation suite (target <= 0.35
+        max / <= 0.15 median on these families; the formula-derived tables
+        track, not equal, the ITU C scores — module docstring)."""
+        pytest.importorskip("pesq")
+        pc, pairs = suite
+        report = pc.score_suite(pairs)
+        dev = report["deviation"]["wb"]
+        assert dev["max_abs_dev"] <= 0.35, dev
+        assert dev["median_abs_dev"] <= 0.15, dev
+        assert dev["spearman"] >= 0.95, dev
