@@ -45,7 +45,38 @@ from functools import partial
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (rc=3, clear message) when the device backend is unreachable.
+
+    The axon tunnel can be down/wedged for reasons outside this process
+    (round-3 postmortem); in that state ``jax.devices()`` blocks forever and
+    the driver records an opaque rc=124.  Probing in a *subprocess* keeps this
+    process's JAX uninitialized; killing a probe that never reached the device
+    holds no in-flight work, so it cannot wedge anything further.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform, len(d))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode == 0:
+            return
+        detail = (proc.stderr or proc.stdout).strip()[-500:]
+    except subprocess.TimeoutExpired:
+        detail = f"jax.devices() still blocked after {timeout_s:.0f}s"
+    print(f"bench: device backend unreachable ({detail}); "
+          "cannot produce numbers — aborting cleanly", flush=True)
+    raise SystemExit(3)
+
+
 def main() -> None:
+    if not os.environ.get("BENCH_SKIP_PROBE"):
+        _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
