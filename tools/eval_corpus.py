@@ -71,6 +71,82 @@ def quality_report(input_dir: str, output_dir: str, limit=None) -> dict:
     return out
 
 
+def tower_metrics(input_dir: str, recon_dir: str, asr_model: str = None,
+                  utmos_ckpt: str = None, ecapa_ckpt: str = None,
+                  trans_dir: str = None, limit=None) -> dict:
+    """Run the weight-gated metric towers over (original, reconstructed) pairs.
+
+    WER semantics follow the reference harness (tools/wer/calculate_wer.py:
+    428-502): with ``trans_dir`` (LibriSpeech ``*.trans.txt``) both the
+    reconstructed and original recognitions score against ground truth and the
+    delta is reported; without transcripts the reconstructed recognitions
+    score against the original recognitions (codec-induced WER — the
+    plumbing-proving mode for synthetic corpora).  UTMOS scores both dirs
+    (calculate_utmos.py) and SIM is mean pairwise cosine (spk_sim_cal.py).
+    """
+    from simwhisper_codec_tpu.utils.audio_io import find_audio_files, load_audio
+
+    recon = {Path(p).stem: p for p in find_audio_files(recon_dir)}
+    pairs = [(Path(p).stem, p, recon[Path(p).stem])
+             for p in find_audio_files(input_dir)[: limit or None]
+             if Path(p).stem in recon]
+    out = {"num_pairs": len(pairs)}
+
+    if asr_model:
+        from simwhisper_codec_tpu.eval.wer import Calculator, CTCTranscriber
+
+        asr = CTCTranscriber(asr_model)
+        truths = {}
+        if trans_dir:
+            for tf in Path(trans_dir).rglob("*.trans.txt"):
+                for line in tf.read_text().splitlines():
+                    if " " in line:
+                        utt, text = line.split(" ", 1)
+                        truths[utt] = text
+        calc_rec, calc_orig = Calculator(), Calculator()
+        for stem, orig_path, rec_path in pairs:
+            hyp_orig = asr.transcribe(load_audio(orig_path, 16000))
+            hyp_rec = asr.transcribe(load_audio(rec_path, 16000))
+            truth = truths.get(stem)
+            if truth is not None:
+                calc_rec.calculate(stem, hyp_rec, truth)
+                calc_orig.calculate(stem, hyp_orig, truth)
+            else:  # no ground truth: codec-induced WER (rec vs orig ASR)
+                calc_rec.calculate(stem, hyp_rec, hyp_orig)
+        out["wer_rec"] = round(100 * calc_rec.wer, 3)
+        if truths:
+            out["wer_orig"] = round(100 * calc_orig.wer, 3)
+            out["wer_delta"] = round(out["wer_rec"] - out["wer_orig"], 3)
+        else:
+            out["wer_mode"] = "rec-vs-orig-asr (no transcripts)"
+
+    if utmos_ckpt:
+        import numpy as np
+
+        from simwhisper_codec_tpu.eval.utmos import UTMOSScorer
+
+        scorer = UTMOSScorer(utmos_ckpt)
+        rec_scores = [scorer.score(load_audio(p, 16000)) for _, _, p in pairs]
+        orig_scores = [scorer.score(load_audio(p, 16000)) for _, p, _ in pairs]
+        out["utmos_rec"] = round(float(np.mean(rec_scores)), 4)
+        out["utmos_orig"] = round(float(np.mean(orig_scores)), 4)
+
+    if ecapa_ckpt:
+        import numpy as np
+
+        from simwhisper_codec_tpu.eval.speaker import SpeakerEmbedder
+
+        emb = SpeakerEmbedder.from_checkpoint(ecapa_ckpt)
+        sims = []
+        for _, orig_path, rec_path in pairs:
+            a = emb.embed(load_audio(orig_path, 16000))
+            b = emb.embed(load_audio(rec_path, 16000))
+            sims.append(float(np.dot(a, b) /
+                              (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)))
+        out["speaker_sim"] = round(float(np.mean(sims)), 4)
+    return out
+
+
 def gated_metric_status() -> dict:
     """Which weight-gated metrics can run in this environment, and why not."""
     from simwhisper_codec_tpu.eval.wer import have_asr
@@ -108,6 +184,16 @@ def main() -> None:
                    help="also report code usage/entropy diagnostics")
     p.add_argument("--full-report", dest="full_report", action="store_true",
                    help="append objective quality metrics + gated-metric status")
+    p.add_argument("--asr_model", default=None,
+                   help="HF name/dir for the WER CTC tower (hubert-large-ls960-ft "
+                        "layout; tools/make_synthetic_tower_weights.py generates a "
+                        "shape-true synthetic dir)")
+    p.add_argument("--utmos_checkpoint", default=None,
+                   help="utmos22_strong lightning .ckpt (or synthetic twin)")
+    p.add_argument("--ecapa_checkpoint", default=None,
+                   help="wavlm_large_finetune.pth (or synthetic twin)")
+    p.add_argument("--trans_dir", default=None,
+                   help="dir of LibriSpeech *.trans.txt ground truth for WER")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="generate an N-utterance synthetic flac corpus as input")
     p.add_argument("--report_json", default=None,
@@ -164,7 +250,20 @@ def main() -> None:
         )
     if args.full_report:
         stats["quality"] = quality_report(args.input_dir, recon_dir, args.limit)
-        stats["gated_metrics"] = gated_metric_status()
+        if args.asr_model or args.utmos_checkpoint or args.ecapa_checkpoint:
+            stats["towers"] = tower_metrics(
+                args.input_dir, recon_dir, asr_model=args.asr_model,
+                utmos_ckpt=args.utmos_checkpoint, ecapa_ckpt=args.ecapa_checkpoint,
+                trans_dir=args.trans_dir, limit=args.limit,
+            )
+        status = gated_metric_status()
+        if args.asr_model:
+            status["wer"] = f"ran ({args.asr_model})"
+        if args.utmos_checkpoint:
+            status["utmos"] = f"ran ({args.utmos_checkpoint})"
+        if args.ecapa_checkpoint:
+            status["speaker_sim"] = f"ran ({args.ecapa_checkpoint})"
+        stats["gated_metrics"] = status
         stats["mode"] = args.mode
         stats["weights"] = "random" if args.allow_random else args.checkpoint_path
     out = json.dumps(stats, indent=2)
