@@ -170,7 +170,12 @@ def main(argv=None) -> None:
     t0 = time.time()
     start_step = int(state.step) + 1
     for step in range(start_step, args.steps + 1):
-        audio = crop_batch(rng, wavs, args.batch_size, segment_samples)
+        # step-keyed rng: a resumed run sees the SAME crop sequence as a
+        # continuous one (the seed-only rng restarted from crop #1 on resume,
+        # silently breaking resumed-vs-continuous equivalence) — the same
+        # epoch-keyed discipline as the reference's sampler (helpers.py:160-198)
+        audio = crop_batch(np.random.default_rng((args.seed, step)),
+                           wavs, args.batch_size, segment_samples)
         feats = seg_log_mel(jnp.asarray(audio))
         batch = {
             "mel": jnp.asarray(feats, jnp.float32),

@@ -292,6 +292,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only", choices=["hubert", "wavlm", "utmos"], default=None)
     args = ap.parse_args()
+    # weight generation is pure CPU work: never initialize the ambient
+    # accelerator backend (a wedged axon tunnel hangs on first jax call)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     if args.only in (None, "hubert"):
