@@ -77,8 +77,10 @@ def main() -> None:
 
     out = Path(args.output_folder)
     a_dir, b_dir = out / "runA", out / "runB"
-    common = ["--steps", str(args.steps), "--log_every", "10",
-              "--checkpoint_every", "50", "--seed", "7", *passthrough]
+    ckpt_every = max(1, args.steps // 6)  # several resume points before the kill
+    log_every = max(1, min(10, args.steps // 10))
+    common = ["--steps", str(args.steps), "--log_every", str(log_every),
+              "--checkpoint_every", str(ckpt_every), "--seed", "7", *passthrough]
 
     print("=== run A: continuous ===", flush=True)
     t0 = time.time()
