@@ -139,7 +139,7 @@ def main() -> None:
 
     float(round_trip(wav, jnp.zeros(())))  # compile/deserialize + warmup
 
-    iters = 10
+    iters = int(os.environ.get("BENCH_ITERS", "10"))  # lower only for smoke runs
     # latency mode: host scalar readback every iteration
     start = time.perf_counter()
     for _ in range(iters):
