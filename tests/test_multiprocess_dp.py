@@ -34,7 +34,6 @@ jax.distributed.initialize(coordinator_address=coordinator,
 assert jax.process_count() == int(nproc)
 assert jax.process_index() == int(pid)
 
-sys.path.insert(0, out_base + "/..")  # repo root passed via cwd instead
 from simwhisper_codec_tpu.models.codec import AudioCodec, init_params
 from simwhisper_codec_tpu.eval.corpus import evaluate_corpus
 sys.path.insert(0, "tests")
