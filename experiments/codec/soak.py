@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -48,21 +49,39 @@ def read_log(folder: Path) -> dict:
     return rows
 
 
-def run_train(args_list, kill_after: float = None) -> int:
+def run_train(args_list, kill_at_step: int = None, log_folder: Path = None,
+              timeout_s: float = 14400.0) -> int:
+    """Run train.py; with ``kill_at_step``, SIGKILL it once its train log
+    shows that step reached — progress-based, so the kill lands mid-run
+    regardless of compile/AOT-warm-start time (a wall-clock fraction of a
+    cold run A would let a warm run B finish before the kill ever fired)."""
     proc = subprocess.Popen([sys.executable, TRAIN] + args_list, cwd=REPO_ROOT)
-    if kill_after is None:
+    if kill_at_step is None:
         return proc.wait()
-    time.sleep(kill_after)
+    deadline = time.time() + timeout_s
+    while proc.poll() is None and time.time() < deadline:
+        rows = read_log(log_folder)
+        if rows and max(rows) >= kill_at_step:
+            print(f"soak: SIGKILL at logged step >= {kill_at_step} "
+                  f"(pid {proc.pid})", flush=True)
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait()
+            return -9
+        time.sleep(2.0)
     if proc.poll() is None:
-        print(f"soak: SIGKILL after {kill_after:.0f}s (pid {proc.pid})", flush=True)
-        os.kill(proc.pid, signal.SIGKILL)
-        proc.wait()
-        return -9
+        proc.kill()
+        raise RuntimeError("run B exceeded its timeout before reaching the kill step")
+    print("soak: run B finished before the kill step was logged", flush=True)
     return proc.returncode
 
 
+_CKPT_RE = re.compile(r"^ckpt_\d+$")
+
+
 def last_checkpoint(folder: Path):
-    ckpts = sorted(folder.glob("ckpt_*"))
+    """Latest FINALIZED checkpoint — Orbax leaves ckpt_*.orbax-checkpoint-tmp-*
+    dirs behind when the kill lands mid-save; those must never be resumed."""
+    ckpts = sorted(p for p in folder.glob("ckpt_*") if _CKPT_RE.match(p.name))
     return str(ckpts[-1]) if ckpts else None
 
 
@@ -71,7 +90,7 @@ def main() -> None:
     ap.add_argument("--output_folder", required=True)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--kill_fraction", type=float, default=0.5,
-                    help="kill run B at ~this fraction of run A's wall time")
+                    help="kill run B once its log reaches ~this fraction of the steps")
     ap.add_argument("--loss_rtol", type=float, default=1e-4)
     args, passthrough = ap.parse_known_args()
 
@@ -91,8 +110,10 @@ def main() -> None:
     assert args.steps in log_a, "run A incomplete"
 
     print("=== run B: killed mid-run, then resumed ===", flush=True)
+    kill_step = min(args.steps - 1,
+                    max(ckpt_every + 1, int(args.kill_fraction * args.steps)))
     run_train(common + ["--output_folder", str(b_dir)],
-              kill_after=max(30.0, args.kill_fraction * a_wall))
+              kill_at_step=kill_step, log_folder=b_dir)
     ckpt = last_checkpoint(b_dir)
     assert ckpt, "run B died before its first checkpoint; raise kill_fraction"
     print(f"=== resume from {ckpt} ===", flush=True)

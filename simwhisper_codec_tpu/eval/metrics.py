@@ -226,18 +226,22 @@ def pesq_score(
     ref = _resample(np.asarray(reference, np.float64), sample_rate, rate)
     deg = _resample(np.asarray(degraded, np.float64), sample_rate, rate)
     m = min(len(ref), len(deg))
+    # expected unscorable-pair errors: the native implementation raises
+    # ValueError (<250 ms, no frames); the pip ITU wrapper raises PesqError
+    # subclasses (NoUtterancesError, BufferTooShortError) which do NOT
+    # derive from ValueError.  Anything else is a real bug and propagates.
+    unscorable: tuple = (ValueError,)
     try:
         if have_pesq():
-            from pesq import pesq as _pesq
+            from pesq import PesqError, pesq as _pesq
 
+            unscorable = (ValueError, PesqError)
             return float(_pesq(rate, ref[:m], deg[:m], mode))
         from simwhisper_codec_tpu.eval.pesq_native import pesq as _native_pesq
 
         return float(_native_pesq(rate, ref[:m], deg[:m], mode))
-    except ValueError as e:
-        # unscorable pair (e.g. < 250 ms, or no utterance detected): omit
-        # PESQ for this pair instead of aborting the corpus run — the same
-        # outward behavior the harness had when the pesq package was absent.
-        # Anything other than ValueError is a real bug and must propagate.
+    except unscorable as e:
+        # omit PESQ for this pair instead of aborting the corpus run — the
+        # same outward behavior the harness had when pesq was absent
         logger.warning("PESQ unscorable pair (%s): omitted", e)
         return None

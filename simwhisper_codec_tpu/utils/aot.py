@@ -47,9 +47,14 @@ def _repo_version() -> str:
                 ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
                 text=True, timeout=10, check=True,
             ).stdout.strip()
+            # restrict the dirty digest to files that can affect numerics —
+            # a full-tree diff would invalidate the cache on every unrelated
+            # change (PROGRESS.jsonl is appended by the round driver every
+            # few minutes, docs artifacts churn constantly)
             diff = subprocess.run(
-                ["git", "diff", "HEAD"], cwd=root, capture_output=True,
-                text=True, timeout=10, check=True,
+                ["git", "diff", "HEAD", "--", "*.py", "*.cpp", "*.cc", "*.h",
+                 "*.hpp", "*.yaml"],
+                cwd=root, capture_output=True, text=True, timeout=10, check=True,
             ).stdout
             if diff:
                 head += "+" + hashlib.sha256(diff.encode()).hexdigest()[:12]
@@ -140,31 +145,45 @@ class warm_jit:
             logger.warning("executable serialization unavailable (%s)", e)
         return compiled
 
+    @staticmethod
+    def _aval_sig(args, kwargs):
+        """Cheap per-call signature: leaf shapes/dtypes (no hashing/repr —
+        the sha256 key costs ~1-2 ms on a full params tree, which would bias
+        timed serving loops; this is a ~50 us traversal)."""
+        import numpy as np
+
+        return tuple(
+            (np.shape(x), str(getattr(x, "dtype", type(x).__name__)))
+            for x in jax.tree_util.tree_leaves((args, kwargs))
+        )
+
     def __call__(self, *args, **kwargs):
         if self._aot_dir is None:
             return self._jitted(*args, **kwargs)
         # per-signature executables: a new batch shape resolves its own
         # artifact instead of disabling AOT
+        sig = self._aval_sig(args, kwargs)
+        compiled = self._by_key.get(sig)
+        if compiled is not None:
+            return compiled(*args, **kwargs)
         key = _cache_key(self._tag, self._fingerprint, args, kwargs)
-        compiled = self._by_key.get(key)
-        if compiled is None:
-            path = self._aot_dir / f"{self._tag}-{key}.jaxexe"
-            compiled = self._try_load(path)
-            if compiled is not None:
-                self.source = "warm"
-                # validate the deserialized executable on its first call: a
-                # platform whose device topology can't execute the artifact
-                # (e.g. forced multi-device host platforms) raises here —
-                # recompile once and refresh the artifact.  Later calls run
-                # the executable directly, so real runtime errors propagate.
-                try:
-                    out = compiled(*args, **kwargs)
-                    self._by_key[key] = compiled
-                    return out
-                except Exception as e:
-                    logger.warning(
-                        "warm executable for %s not runnable here (%s); "
-                        "recompiling", self._tag, e)
-            compiled = self._compile_fresh(path, args, kwargs)
-            self._by_key[key] = compiled
+        path = self._aot_dir / f"{self._tag}-{key}.jaxexe"
+        compiled = self._try_load(path)
+        if compiled is not None:
+            self.source = "warm"
+            # validate the deserialized executable on its first call: a
+            # platform whose device topology can't execute the artifact
+            # (e.g. forced multi-device host platforms) raises here —
+            # recompile once and refresh the artifact.  Later calls run
+            # the executable directly, so real runtime errors propagate.
+            try:
+                out = compiled(*args, **kwargs)
+                self._by_key[sig] = compiled
+                return out
+            except Exception as e:
+                logger.warning(
+                    "warm executable for %s not runnable here (%s); "
+                    "recompiling", self._tag, e)
+        compiled = self._compile_fresh(path, args, kwargs)
+        self._by_key[sig] = compiled
         return compiled(*args, **kwargs)

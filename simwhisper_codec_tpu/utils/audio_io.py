@@ -130,12 +130,14 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
             data, sr = _load_wav_stdlib(path)
         except Exception:
             data = None
+    native_err: Optional[Exception] = None
     if data is None and path.lower().endswith(".flac"):
         from simwhisper_codec_tpu.utils.flac import read_flac
 
         try:
             data, sr = read_flac(path)
-        except Exception:  # unusual file: let the soundfile fallback try
+        except Exception as e:  # unusual file: let the soundfile fallback try
+            native_err = e
             data = None
     if data is None and path.lower().endswith(".mp3"):
         from simwhisper_codec_tpu.utils import mp3
@@ -143,7 +145,8 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
         if mp3.have_mpg123():
             try:
                 data, sr = mp3.read_mp3(path)
-            except Exception:
+            except Exception as e:
+                native_err = e
                 data = None
     if data is None:
         try:
@@ -151,6 +154,11 @@ def load_audio(path: str, target_sample_rate: int = 16000) -> np.ndarray:
 
             data, sr = sf.read(path, dtype="float32")
         except ImportError as e:
+            if native_err is not None:  # surface the REAL decode error
+                raise RuntimeError(
+                    f"cannot decode {path}: native decoder failed "
+                    f"({native_err}) and soundfile is unavailable"
+                ) from native_err
             raise RuntimeError(
                 f"cannot decode {path}: no native decoder for this format and "
                 "soundfile is unavailable"

@@ -104,19 +104,29 @@ def tower_metrics(input_dir: str, recon_dir: str, asr_model: str = None,
                         utt, text = line.split(" ", 1)
                         truths[utt] = text
         calc_rec, calc_orig = Calculator(), Calculator()
+        # one scoring population, never mixed: with transcripts, score ONLY
+        # truth-covered stems against ground truth (both dirs, reference
+        # semantics) and report the uncovered count; without transcripts,
+        # score every pair rec-vs-orig-ASR (codec-induced WER)
+        uncovered = 0
         for stem, orig_path, rec_path in pairs:
+            truth = truths.get(stem)
+            if truths and truth is None:
+                uncovered += 1
+                continue
             hyp_orig = asr.transcribe(load_audio(orig_path, 16000))
             hyp_rec = asr.transcribe(load_audio(rec_path, 16000))
-            truth = truths.get(stem)
             if truth is not None:
                 calc_rec.calculate(stem, hyp_rec, truth)
                 calc_orig.calculate(stem, hyp_orig, truth)
-            else:  # no ground truth: codec-induced WER (rec vs orig ASR)
+            else:
                 calc_rec.calculate(stem, hyp_rec, hyp_orig)
         out["wer_rec"] = round(100 * calc_rec.wer, 3)
         if truths:
             out["wer_orig"] = round(100 * calc_orig.wer, 3)
             out["wer_delta"] = round(out["wer_rec"] - out["wer_orig"], 3)
+            if uncovered:
+                out["wer_pairs_without_transcript"] = uncovered
         else:
             out["wer_mode"] = "rec-vs-orig-asr (no transcripts)"
 
