@@ -132,3 +132,33 @@ def test_warm_jit_codec(tmp_path):
     wav2 = c2.decode(codes2, overlap_seconds=10)["syn_wav_list"][0]
     np.testing.assert_array_equal(np.asarray(codes1[0]), np.asarray(codes2[0]))
     np.testing.assert_array_equal(np.asarray(wav1), np.asarray(wav2))
+
+
+def test_warm_jit_multiple_signatures(tmp_path):
+    """Each distinct aval signature resolves its own executable (the sig-keyed
+    fast path must not reuse an executable across batch shapes), and a second
+    process warm-loads both artifacts."""
+    import jax
+    import jax.numpy as jnp
+
+    from simwhisper_codec_tpu.utils.aot import warm_jit
+
+    def fn(x):
+        return (x * 2.0).sum(axis=-1)
+
+    w = warm_jit(fn, aot_dir=str(tmp_path), tag="multi", fingerprint="t")
+    a = jnp.ones((2, 8), jnp.float32)
+    b = jnp.ones((4, 8), jnp.float32)
+    assert w(a).shape == (2,)
+    assert w(b).shape == (4,)
+    assert len(w._by_key) == 2
+    # repeated calls take the fast path and stay correct
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(w(a)), np.full((2,), 16.0))
+    np.testing.assert_allclose(np.asarray(w(b)), np.full((4,), 16.0))
+    # fresh wrapper (fresh process stand-in): both artifacts warm-load
+    w2 = warm_jit(fn, aot_dir=str(tmp_path), tag="multi", fingerprint="t")
+    np.testing.assert_allclose(np.asarray(w2(a)), np.full((2,), 16.0))
+    assert w2.source in ("warm", "cold")  # serialization may be unsupported on cpu
+    np.testing.assert_allclose(np.asarray(w2(b)), np.full((4,), 16.0))
