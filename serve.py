@@ -99,6 +99,13 @@ def make_runner(codec):
     return runner
 
 
+def _wav_to_f32(wav: np.ndarray) -> np.ndarray:
+    """Rescale a pcm16-wire int16 waveform to the protocol's f32 PCM."""
+    if wav.dtype == np.int16:
+        return wav.astype(np.float32) / 32768.0
+    return np.asarray(wav, np.float32)
+
+
 def make_handler(batcher: MicroBatcher, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -139,12 +146,12 @@ def make_handler(batcher: MicroBatcher, sample_rate: int):
                     g, t = (int(v) for v in self.headers["X-Code-Shape"].split(","))
                     codes = np.frombuffer(raw, np.int32).reshape(g, t)
                     wav = batcher.submit("decode", codes)
-                    self._send(200, np.asarray(wav, np.float32).tobytes())
+                    self._send(200, _wav_to_f32(wav).tobytes())
                 elif self.path == "/reconstruct":
                     wav = np.frombuffer(raw, np.float32)
                     batcher.audio_seconds += len(wav) / sample_rate
                     out = batcher.submit("reconstruct", wav)
-                    self._send(200, np.asarray(out, np.float32).tobytes())
+                    self._send(200, _wav_to_f32(out).tobytes())
                 else:
                     self._send(404, b"not found")
             except Exception as e:
@@ -173,6 +180,10 @@ def main(argv=None):
     p.add_argument("--aot_dir", default=None,
                    help="AOT executable cache dir (warm session start; "
                         "also via SIMWHISPER_AOT_DIR)")
+    # pcm16 wire: half the host<->device bytes per request (the dominant
+    # serving cost on tunneled/PCIe hosts).  The HTTP bodies stay f32; the
+    # handler rescales the device's int16 output on host, off the wire.
+    p.add_argument("--wire", default="pcm16", choices=["float32", "pcm16"])
     args = p.parse_args(argv)
 
     if args.device:
@@ -183,7 +194,8 @@ def main(argv=None):
     from simwhisper_codec_tpu.models.codec import AudioCodec
 
     codec = AudioCodec.load_from_checkpoint(args.config, args.checkpoint,
-                                            mode=args.mode, aot_dir=args.aot_dir)
+                                            mode=args.mode, aot_dir=args.aot_dir,
+                                            wire=args.wire)
     # warm the compiled programs so first requests aren't compile-bound
     warm = [np.zeros(16000, np.float32)]
     codec.decode(codec.encode(warm)["codes_list"])

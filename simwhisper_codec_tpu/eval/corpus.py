@@ -71,15 +71,30 @@ def evaluate_corpus(
     # steady-state RTF is meaningful on small corpora (BENCH covers peak)
     warmup_audio_seconds = 0.0  # the first batch's audio must leave the
     # steady numerator too, or steady RTF overstates on small corpora
-    t0 = time.perf_counter()
-    for batch_idx in batches:
+
+    # double-buffered input + async writeback: the host-side FLAC decode and
+    # WAV writes overlap the tunnel/device time of the in-flight batch (the
+    # loop body mostly *waits* on transfers, so even a 1-core host hides
+    # most of its decode cost here)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(batch_idx):
         # multithreaded C++ decode for wav/flac, Python for the rest; per-file
         # failures come back as None (skip, keep evaluating — the reference's
         # per-file try/except semantics, evaluate_model.py:128-141)
-        loaded = load_audio_batch(
+        return load_audio_batch(
             [paths[i] for i in batch_idx],
             target_sample_rate=codec.input_sample_rate, on_error="none",
         )
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    write_futures = []
+    pending = pool.submit(_load, batches[0]) if batches else None
+    t0 = time.perf_counter()
+    for bnum, batch_idx in enumerate(batches):
+        loaded = pending.result()
+        pending = (pool.submit(_load, batches[bnum + 1])
+                   if bnum + 1 < len(batches) else None)
         batch_wavs, kept_idx = [], []
         for i, wav in zip(batch_idx, loaded):
             if wav is None:  # decode failure mid-corpus: skip the file
@@ -99,9 +114,14 @@ def evaluate_corpus(
             warmup_seconds = time.perf_counter() - t0
             warmup_audio_seconds = total_audio_seconds
         if output_dir:
-            for i, syn in zip(kept_idx, dec["syn_wav_list"]):
-                out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
-                save_audio(out_path, np.asarray(syn), codec.output_sample_rate)
+            def _write(pairs=list(zip(kept_idx, dec["syn_wav_list"]))):
+                for i, syn in pairs:
+                    out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
+                    save_audio(out_path, np.asarray(syn), codec.output_sample_rate)
+            write_futures.append(pool.submit(_write))
+    for f in write_futures:
+        f.result()  # writes are part of the pipeline: surface errors, then stop the clock
+    pool.shutdown(wait=True)
     elapsed = time.perf_counter() - t0
 
     frame_bits = bits_per_frame(codec.cfg.quantizer)  # 8 groups x log2(8*7*6*6) for the published config

@@ -207,6 +207,7 @@ class AudioCodec:
         attn_impl: Optional[str] = None,
         data_parallel: bool = False,
         aot_dir: Optional[str] = None,
+        wire: str = "float32",
     ):
         """mode: "parity" (f32, HIGHEST matmuls — bit-exact codes vs the
         reference) or "fast" (bf16 compute, default-precision matmuls — the
@@ -222,7 +223,17 @@ class AudioCodec:
 
         mode "fast-int8-full": int8 on both sides (max throughput; codes
         agree with bf16 at ~97% — the naive-dynamic-quant encoder is the
-        sensitive stack, docs/TPU_NOTES.md round-3 sweep)."""
+        sensitive stack, docs/TPU_NOTES.md round-3 sweep).
+
+        wire: host<->device waveform transfer format. "float32" (default)
+        ships waveforms as f32; "pcm16" ships them as int16 and converts on
+        device, halving transfer bytes — the usual bottleneck on PCIe hosts
+        and THE bottleneck through the tunneled dev backend.  PCM16 wire is
+        bit-exact vs float wire whenever the source audio is 16-bit PCM at
+        the target rate (int16/32768 is exact in f32; the output quantizer is
+        the save_audio formula, which the reference pipeline applies between
+        every stage anyway — helpers.py:95-103 writes 16-bit PCM and every
+        eval tool reloads it)."""
         if mode in ("fast", "fast-int8", "fast-int8-full"):
             fastkw = fast_mode_settings()
             cfg = dataclasses.replace(cfg, compute_dtype=fastkw["compute_dtype"])
@@ -278,6 +289,26 @@ class AudioCodec:
         else:
             self.params = jax.device_put(params)
         self.batch_size = batch_size
+        if wire not in ("float32", "pcm16"):
+            raise ValueError(f"wire must be 'float32' or 'pcm16', got {wire!r}")
+        self.wire = wire
+        # Tiny elementwise converters around the (AOT-cached) main programs:
+        # the wire dtype never changes the traced tokenize/detokenize
+        # programs or their serialized executables.  Dequant multiplies by a
+        # power of two (exact); quant mirrors save_audio's clip+truncate.
+        chunk_n = cfg.chunk_samples
+        self._dequant_pcm16 = jax.jit(
+            lambda x: jnp.pad(
+                x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0),
+                ((0, 0), (0, chunk_n - x.shape[1]))))
+        self._quant_pcm16 = jax.jit(
+            lambda y: jnp.clip(y * jnp.float32(32768.0), -32768.0, 32767.0)
+            .astype(jnp.int16))
+        # transfer granularity for the int16 encode wire: host pads only to
+        # the next bucket, the dequant jit pads to the fixed program shape on
+        # device — short utterances ship ~T bytes instead of the 30 s window
+        # (<=10 tiny elementwise programs, one per occupied bucket)
+        self._wire_bucket = max(1, chunk_n // 10)
         self.input_sample_rate = cfg.input_sample_rate
         self.output_sample_rate = cfg.output_sample_rate
         self.max_audio_seconds = cfg.max_audio_seconds
@@ -346,21 +377,38 @@ class AudioCodec:
         return self.batch_size if b < self.batch_size else b
 
     def inference_tokenize(self, wav: np.ndarray, input_lengths: np.ndarray) -> dict:
-        """wav (B, T<=chunk_samples) host array -> codes (device arrays)."""
+        """wav (B, T<=chunk_samples) host array -> codes (device arrays).
+
+        int16 input is interpreted as PCM16 and dequantized ON DEVICE
+        (int16/32768, exact in f32) — with ``wire="pcm16"`` float input is
+        first snapped to the PCM16 grid on host so the transfer ships half
+        the bytes."""
+        wav = np.asarray(wav)
+        if self.wire == "pcm16" and wav.dtype != np.int16:
+            wav = np.clip(wav.astype(np.float32) * 32768.0, -32768, 32767).astype(np.int16)
         b, t = wav.shape
         n = self.cfg.chunk_samples
-        if t < n:
-            wav = np.pad(wav, ((0, 0), (0, n - t)))
+        if wav.dtype == np.int16:
+            # ship only a bucket-padded slice; device pads to the program
+            # shape (the transfer is the serving bottleneck, not the pad)
+            target = min(n, -(-min(t, n) // self._wire_bucket) * self._wire_bucket)
         else:
-            wav = wav[:, :n]
+            target = n
+        if t < target:
+            wav = np.pad(wav, ((0, 0), (0, target - t)))
+        else:
+            wav = wav[:, :target]
         bp = self._pad_batch_dim(b)
         if bp != b:
             wav = np.pad(wav, ((0, bp - b), (0, 0)))
             input_lengths = np.pad(np.asarray(input_lengths), (0, bp - b))
-        wav_arr = jnp.asarray(wav, jnp.float32)
+        wav_arr = (jnp.asarray(wav) if wav.dtype == np.int16
+                   else jnp.asarray(wav, jnp.float32))
         len_arr = jnp.asarray(input_lengths)
         if self._data_sharding is not None:
             wav_arr, len_arr = self._shard_batch(wav_arr, len_arr)
+        if wav_arr.dtype == jnp.int16:
+            wav_arr = self._dequant_pcm16(wav_arr)
         out = self._tokenize(self.params, wav_arr, len_arr)
         if wav_arr.shape[0] != b:  # drop device-padding rows
             out = {
@@ -371,7 +419,8 @@ class AudioCodec:
         return out
 
     def inference_detokenize(
-        self, codes: np.ndarray, codes_lengths: np.ndarray, chunk_width: Optional[int] = None
+        self, codes: np.ndarray, codes_lengths: np.ndarray,
+        chunk_width: Optional[int] = None, out_samples: Optional[int] = None,
     ) -> dict:
         """codes (G, B, T<=code_frames) -> waveform (device arrays)."""
         g, b, t = codes.shape
@@ -400,6 +449,14 @@ class AudioCodec:
         out = self._detokenize(
             self.params, codes_arr, len_arr, jnp.asarray(width, jnp.int32)
         )
+        if self.wire == "pcm16":  # quantize on device: half the bytes home
+            out = dict(out)
+            y = self._quant_pcm16(out["y"])
+            if out_samples is not None and out_samples < y.shape[-1]:
+                # slice on device: the chunk loop only keeps the first
+                # stride's worth, so the overlap tail never crosses the wire
+                y = y[:, :out_samples]
+            out["y"] = y
         if codes_arr.shape[1] != b:  # drop device-padding rows
             out = {"y": out["y"][:b], "output_length": out["output_length"][:b]}
         return out
@@ -429,9 +486,16 @@ class AudioCodec:
         batch_size = len(wav_list)
         max_length = max(len(w) for w in wav_list)
         input_lengths = np.array([len(w) for w in wav_list], np.int64)
-        wav_tensor = np.zeros((batch_size, max_length), np.float32)
+        wire16 = self.wire == "pcm16" or all(
+            np.asarray(w).dtype == np.int16 for w in wav_list)
+        wav_tensor = np.zeros((batch_size, max_length),
+                              np.int16 if wire16 else np.float32)
         for i, w in enumerate(wav_list):
-            wav_tensor[i, : len(w)] = np.asarray(w, np.float32).reshape(-1)
+            w = np.asarray(w).reshape(-1)
+            if wire16 and w.dtype != np.int16:
+                w = np.clip(w.astype(np.float32) * 32768.0, -32768, 32767).astype(np.int16)
+            wav_tensor[i, : len(w)] = (w if wire16
+                                       else np.asarray(w, np.float32))
 
         max_chunks = (max_length + duration_size - 1) // duration_size
         chunks_out = []
@@ -466,7 +530,10 @@ class AudioCodec:
         return {"codes_list": codes_list}
 
     def decode(self, codes_list: List[np.ndarray], overlap_seconds: int = 10) -> dict:
-        """List of (G, T_i) code arrays -> {"syn_wav_list": [ (T_i*1280,) f32 ]}."""
+        """List of (G, T_i) code arrays -> {"syn_wav_list": [ (T_i*1280,) ]}.
+
+        Waveforms are f32, or int16 PCM when ``wire="pcm16"`` (the device
+        quantizes with the exact save_audio formula before transfer)."""
         duration_seconds = self.max_audio_seconds - overlap_seconds
         chunk_code_length = self.max_audio_seconds * self.input_sample_rate // self.encoder_downsample_rate
         duration_code_length = duration_seconds * self.input_sample_rate // self.encoder_downsample_rate
@@ -489,7 +556,9 @@ class AudioCodec:
             if chunk_code_lengths.max() == 0:
                 continue
 
-            result = self.inference_detokenize(chunk_codes, chunk_code_lengths, chunk_width=end - start)
+            result = self.inference_detokenize(
+                chunk_codes, chunk_code_lengths, chunk_width=end - start,
+                out_samples=duration_wav_length)
             wav = np.asarray(result["y"])  # (B, chunk_samples)
             wav_lens = np.asarray(result["output_length"])
 
@@ -506,7 +575,8 @@ class AudioCodec:
                 for i in range(batch_size)
             ]
         else:
-            syn_wav_list = [np.zeros((0,), np.float32) for _ in range(batch_size)]
+            out_dtype = np.int16 if self.wire == "pcm16" else np.float32
+            syn_wav_list = [np.zeros((0,), out_dtype) for _ in range(batch_size)]
         return {"syn_wav_list": syn_wav_list}
 
     @classmethod

@@ -212,9 +212,16 @@ def probe_audio_length(path: str, target_sample_rate: int = 16000) -> int:
 
 
 def save_audio(path: str, wav: np.ndarray, sample_rate: int = 16000) -> None:
-    """Save 16-bit PCM WAV (helpers.py:95-103: PCM_S, bits 16)."""
-    wav = np.asarray(wav, np.float32).reshape(-1)
-    pcm = np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
+    """Save 16-bit PCM WAV (helpers.py:95-103: PCM_S, bits 16).
+
+    int16 input is written as-is (the codec's ``wire="pcm16"`` path already
+    quantized on device with this exact formula)."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16:
+        pcm = wav.reshape(-1).astype("<i2")
+    else:
+        wav = wav.astype(np.float32).reshape(-1)
+        pcm = np.clip(wav * 32768.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(2)

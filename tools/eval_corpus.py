@@ -25,8 +25,9 @@ from simwhisper_codec_tpu.models.codec import AudioCodec
 from simwhisper_codec_tpu.utils.audio_io import set_logging
 
 
-def make_synthetic_corpus(out_dir: Path, n: int, seed: int = 0) -> None:
-    """N speech-like utterances (1-4 s, varied f0/envelope) as 16 kHz flac."""
+def make_synthetic_corpus(out_dir: Path, n: int, seed: int = 0,
+                          dur_range=(1.0, 4.0)) -> None:
+    """N speech-like utterances (varied f0/envelope) as 16 kHz flac."""
     import numpy as np
 
     from simwhisper_codec_tpu.utils.flac import write_flac
@@ -35,7 +36,7 @@ def make_synthetic_corpus(out_dir: Path, n: int, seed: int = 0) -> None:
     rng = np.random.default_rng(seed)
     sr = 16000
     for i in range(n):
-        dur = rng.uniform(1.0, 4.0)
+        dur = rng.uniform(*dur_range)
         t = np.arange(int(sr * dur)) / sr
         f0 = rng.uniform(90, 240) + 25 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
         sig = sum(np.sin(2 * np.pi * h * np.cumsum(f0) / sr + rng.uniform(0, 6)) / h
@@ -206,6 +207,14 @@ def main() -> None:
                    help="dir of LibriSpeech *.trans.txt ground truth for WER")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="generate an N-utterance synthetic flac corpus as input")
+    p.add_argument("--synthetic_dur", default="1,4", metavar="LO,HI",
+                   help="synthetic utterance duration range in seconds "
+                        "(serving-scale artifacts want ~28,30 so each file "
+                        "fills its 30 s chunk instead of padding 10x)")
+    p.add_argument("--wire", default="float32", choices=["float32", "pcm16"],
+                   help="host<->device waveform transfer format; pcm16 halves "
+                        "transfer bytes (bit-exact for 16-bit sources at the "
+                        "target rate — the corpus formats here)")
     p.add_argument("--report_json", default=None,
                    help="also write the consolidated report to this path")
     args = p.parse_args()
@@ -219,7 +228,9 @@ def main() -> None:
         if not args.output_dir:
             p.error("--synthetic requires --output_dir")
         args.input_dir = str(Path(args.output_dir) / "synthetic_corpus")
-        make_synthetic_corpus(Path(args.input_dir), args.synthetic)
+        lo, hi = (float(x) for x in args.synthetic_dur.split(","))
+        make_synthetic_corpus(Path(args.input_dir), args.synthetic,
+                              dur_range=(lo, hi))
     elif not args.input_dir:
         p.error("--input_dir is required (or use --synthetic N)")
     if args.full_report and not args.output_dir:
@@ -234,13 +245,14 @@ def main() -> None:
         cfg = load_config(args.config_path)
         codec = AudioCodec(cfg, init_params(_jax.random.PRNGKey(0), cfg),
                            batch_size=args.batch_size, mode=args.mode,
-                           data_parallel=args.data_parallel)
+                           data_parallel=args.data_parallel, wire=args.wire)
     else:
         if not args.checkpoint_path:
             p.error("--checkpoint_path is required (or use --allow_random)")
         codec = AudioCodec.load_from_checkpoint(
             args.config_path, args.checkpoint_path,
-            batch_size=args.batch_size, mode=args.mode, data_parallel=args.data_parallel,
+            batch_size=args.batch_size, mode=args.mode,
+            data_parallel=args.data_parallel, wire=args.wire,
         )
     recon_dir = (str(Path(args.output_dir) / "reconstructed")
                  if args.full_report else args.output_dir)
