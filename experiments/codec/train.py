@@ -126,11 +126,23 @@ def main(argv=None) -> None:
     logger.info("codec params:\n%s", format_param_report(params))
 
     g_tx, d_tx = codec_gan.make_codec_gan_optimizers(cfg, args.learning_rate)
-    state = codec_gan.init_codec_gan_state(cfg, params, d_params, g_tx, d_tx)
     if args.resume:
-        restored = load_orbax(args.resume, state._asdict())
+        # Restore against an ABSTRACT template and free the concrete init
+        # params first.  Materializing the full state (params + both Adam
+        # states, ~3.4 GB at 291M params) as a restore target holds TWO
+        # copies on device while Orbax restores — the full-size on-chip soak
+        # OOMed exactly there (RESOURCE_EXHAUSTED at the first post-resume
+        # step) while fresh runs at the identical footprint were fine.
+        template = jax.eval_shape(
+            lambda p, d: codec_gan.init_codec_gan_state(cfg, p, d, g_tx, d_tx),
+            params, d_params,
+        )
+        del params, d_params  # free ~1.2 GB of device HBM before the restore
+        restored = load_orbax(args.resume, template._asdict())
         state = codec_gan.CodecGanState(**restored)
         logger.info("resumed from %s at step %d", args.resume, int(state.step))
+    else:
+        state = codec_gan.init_codec_gan_state(cfg, params, d_params, g_tx, d_tx)
 
     raw_step = codec_gan.make_codec_gan_step(cfg, consts, mel_consts, g_tx, d_tx)
     if args.aot_dir:
