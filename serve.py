@@ -12,6 +12,16 @@ Endpoints (Content-Type application/octet-stream unless noted):
   POST /reconstruct f32 PCM -> f32 PCM (round trip)
   GET  /healthz     JSON status + throughput counters
 
+Overload behavior: the micro-batch queue is bounded (--queue_depth); when it
+is full new requests get 503 + Retry-After instead of growing host memory.
+Request bodies above --max_body_mb (default 64) get 413 without being read.
+
+Wire precision: with the default ``--wire float32`` the endpoint contract is
+exact f32 PCM end to end.  ``--wire pcm16`` halves host<->device transfer
+bytes (the dominant cost on tunneled/PCIe hosts) at the price of quantizing
+waveforms to the int16 grid IN EVERY MODE — outputs then differ from the f32
+contract by <1 LSB16 (~3e-5).  Opt in for throughput, not for bit-parity.
+
 Run:  python serve.py --checkpoint weights/SimWhisperCodec.pt --port 8300
 """
 
@@ -32,22 +42,52 @@ from simwhisper_codec_tpu.utils.audio_io import set_logging
 logger = logging.getLogger(__name__)
 
 
-class MicroBatcher:
-    """Collects requests for up to ``window_ms`` and runs them as one batch."""
+class Overloaded(Exception):
+    """Raised when the micro-batch queue is full; handlers answer 503."""
 
-    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0):
+
+class CodecHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a saturation-sized TCP accept backlog.
+
+    The stdlib default ``request_queue_size`` is 5: a burst of concurrent
+    connects overflows the kernel listen backlog and clients see connection
+    resets before the application-level 503 path can answer.  128 lets a
+    saturation burst reach the handler, where the bounded micro-batch queue
+    turns overload into fast 503s instead of TCP-level failures.
+    """
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
+class MicroBatcher:
+    """Collects requests for up to ``window_ms`` and runs them as one batch.
+
+    The queue is bounded: at most ``queue_depth`` requests wait for the
+    device at any time.  ``submit`` never blocks on a full queue — it raises
+    :class:`Overloaded` immediately, so saturation surfaces as fast 503s
+    instead of unbounded host memory growth and timeout pileups.
+    """
+
+    def __init__(self, runner, max_batch: int = 8, window_ms: float = 5.0,
+                 queue_depth: int = 64):
         self.runner = runner
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
-        self.q: "queue.Queue" = queue.Queue()
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(1, queue_depth))
         self.served = 0
+        self.rejected = 0
         self.audio_seconds = 0.0
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, kind: str, payload):
         done = threading.Event()
         slot = {"kind": kind, "payload": payload, "done": done, "result": None, "error": None}
-        self.q.put(slot)
+        try:
+            self.q.put_nowait(slot)
+        except queue.Full:
+            self.rejected += 1
+            raise Overloaded(f"queue full ({self.q.maxsize} waiting)") from None
         done.wait()
         if slot["error"]:
             raise slot["error"]
@@ -106,13 +146,22 @@ def _wav_to_f32(wav: np.ndarray) -> np.ndarray:
     return np.asarray(wav, np.float32)
 
 
-def make_handler(batcher: MicroBatcher, sample_rate: int):
+class BodyTooLarge(Exception):
+    """Request body exceeds the configured cap; handlers answer 413."""
+
+
+def make_handler(batcher: MicroBatcher, sample_rate: int,
+                 max_body_bytes: int = 64 * 1024 * 1024):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             logger.debug(fmt, *args)
 
         def _read_body(self) -> bytes:
             n = int(self.headers.get("Content-Length", 0))
+            if n > max_body_bytes:
+                # refuse before reading: a multi-GB POST must not be pulled
+                # into host memory just to be rejected
+                raise BodyTooLarge(f"body {n} bytes > cap {max_body_bytes}")
             return self.rfile.read(n)
 
         def _send(self, code: int, body: bytes, headers=None):
@@ -127,6 +176,8 @@ def make_handler(batcher: MicroBatcher, sample_rate: int):
             if self.path == "/healthz":
                 body = json.dumps(
                     {"status": "ok", "served": batcher.served,
+                     "rejected": batcher.rejected,
+                     "queue_depth": batcher.q.qsize(),
                      "audio_seconds": round(batcher.audio_seconds, 1)}
                 ).encode()
                 self._send(200, body, {"Content-Type": "application/json"})
@@ -154,6 +205,11 @@ def make_handler(batcher: MicroBatcher, sample_rate: int):
                     self._send(200, _wav_to_f32(out).tobytes())
                 else:
                     self._send(404, b"not found")
+            except Overloaded as e:
+                # fast rejection under saturation: clients back off + retry
+                self._send(503, str(e).encode(), {"Retry-After": "1"})
+            except BodyTooLarge as e:
+                self._send(413, str(e).encode())
             except Exception as e:
                 logger.exception("request failed")
                 self._send(500, str(e).encode())
@@ -176,14 +232,21 @@ def main(argv=None):
     p.add_argument("--mode", default="fast-int8", choices=["fast", "fast-int8", "fast-int8-full", "parity"])
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--window_ms", type=float, default=5.0)
+    p.add_argument("--queue_depth", type=int, default=64,
+                   help="max requests waiting for the device; beyond this "
+                        "new requests get 503 + Retry-After")
+    p.add_argument("--max_body_mb", type=float, default=64.0,
+                   help="reject request bodies above this size with 413 "
+                        "before reading them into memory")
     p.add_argument("--device", default=None)
     p.add_argument("--aot_dir", default=None,
                    help="AOT executable cache dir (warm session start; "
                         "also via SIMWHISPER_AOT_DIR)")
-    # pcm16 wire: half the host<->device bytes per request (the dominant
-    # serving cost on tunneled/PCIe hosts).  The HTTP bodies stay f32; the
-    # handler rescales the device's int16 output on host, off the wire.
-    p.add_argument("--wire", default="pcm16", choices=["float32", "pcm16"])
+    # float32 (default) honors the endpoints' exact-f32 contract in every
+    # mode.  pcm16 is the throughput opt-in for tunneled/PCIe hosts: half
+    # the host<->device bytes per request, but waveforms are quantized to
+    # the int16 grid (<1 LSB16 difference; see module docstring).
+    p.add_argument("--wire", default="float32", choices=["float32", "pcm16"])
     args = p.parse_args(argv)
 
     if args.device:
@@ -201,8 +264,12 @@ def main(argv=None):
     codec.decode(codec.encode(warm)["codes_list"])
     logger.info("codec warm; serving on %s:%d (mode=%s)", args.host, args.port, args.mode)
 
-    batcher = MicroBatcher(make_runner(codec), args.max_batch, args.window_ms)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(batcher, codec.input_sample_rate))
+    batcher = MicroBatcher(make_runner(codec), args.max_batch, args.window_ms,
+                           queue_depth=args.queue_depth)
+    server = CodecHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, codec.input_sample_rate,
+                     max_body_bytes=int(args.max_body_mb * 1024 * 1024)))
     server.serve_forever()
 
 

@@ -118,6 +118,12 @@ def evaluate_corpus(
                 for i, syn in pairs:
                     out_path = Path(output_dir) / (Path(paths[i]).stem + ".wav")
                     save_audio(out_path, np.asarray(syn), codec.output_sample_rate)
+            # bounded backlog: before queueing a new write, wait for all but
+            # the most recent one — at most two batches of decoded audio are
+            # pinned by pending writes, even when the disk is slower than the
+            # device (otherwise the backlog grows without bound)
+            while len(write_futures) > 1:
+                write_futures.pop(0).result()
             write_futures.append(pool.submit(_write))
     for f in write_futures:
         f.result()  # writes are part of the pipeline: surface errors, then stop the clock

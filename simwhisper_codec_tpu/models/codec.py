@@ -306,8 +306,11 @@ class AudioCodec:
             .astype(jnp.int16))
         # transfer granularity for the int16 encode wire: host pads only to
         # the next bucket, the dequant jit pads to the fixed program shape on
-        # device — short utterances ship ~T bytes instead of the 30 s window
-        # (<=10 tiny elementwise programs, one per occupied bucket)
+        # device — short utterances ship ~T bytes instead of the 30 s window.
+        # _dequant_pcm16 retraces per distinct (padded_batch, bucket) pair, so
+        # a serving host with varied request batch sizes compiles up to
+        # 10 x n_batch_shapes tiny elementwise programs (cheap: each is a
+        # pad+scale; the expensive tokenize program is shape-stable).
         self._wire_bucket = max(1, chunk_n // 10)
         self.input_sample_rate = cfg.input_sample_rate
         self.output_sample_rate = cfg.output_sample_rate
@@ -494,6 +497,10 @@ class AudioCodec:
             w = np.asarray(w).reshape(-1)
             if wire16 and w.dtype != np.int16:
                 w = np.clip(w.astype(np.float32) * 32768.0, -32768, 32767).astype(np.int16)
+            elif not wire16 and w.dtype == np.int16:
+                # mixed-dtype batch on the float wire: rescale PCM16 entries
+                # so they land on the same [-1, 1] scale as the float ones
+                w = w.astype(np.float32) / 32768.0
             wav_tensor[i, : len(w)] = (w if wire16
                                        else np.asarray(w, np.float32))
 

@@ -53,6 +53,22 @@ def test_encode_accepts_int16_input_directly(codecs):
     np.testing.assert_array_equal(c_int[0], c_flt[0])
 
 
+def test_encode_mixed_dtype_batch_on_float_wire(codecs):
+    """A batch mixing int16 and float32 entries on the float wire must
+    rescale the int16 items to [-1, 1] — not write raw sample values like
+    20000.0 into the f32 tensor (advisor finding, round 4)."""
+    f32, _ = codecs
+    rng = np.random.default_rng(4)
+    ints = rng.integers(-20000, 20000, 12000).astype(np.int16)
+    flt = (rng.integers(-20000, 20000, 9000).astype(np.float32) / 32768.0)
+    c_mixed = f32.encode([ints, flt], overlap_seconds=10)["codes_list"]
+    c_pure = f32.encode(
+        [ints.astype(np.float32) / 32768.0, flt], overlap_seconds=10
+    )["codes_list"]
+    for a, b in zip(c_mixed, c_pure):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_decode_pcm16_matches_host_quantized_float(codecs):
     f32, pcm = codecs
     wavs = _grid_wavs(np.random.default_rng(2), [14000])
