@@ -183,6 +183,80 @@ def _estimate_delay(ref: np.ndarray, deg: np.ndarray, fs: int,
 
 
 # ---------------------------------------------------------------------------
+# stage 3b: waveform-coherence disturbance (extension beyond literal P.862)
+# ---------------------------------------------------------------------------
+#
+# P.862's perceptual model compares Bark-pooled POWER spectra, which makes it
+# nearly blind to re-synthesized waveforms whose short-time spectra match the
+# reference — exactly what neural codecs produce.  The ITU implementation
+# still scores neural codecs low (the reference README's corpus averages sit
+# at 2.4-2.7 WB) while this module's literal stage-4 rendering read them at
+# raw ~4.0: measured on the demo-page pairs, vocoded speech produced LESS
+# (d_sym, d_asym) disturbance than 30 dB AWGN, so no monotone recalibration
+# of the aggregates could reconcile the families (docs/PESQ_CALIBRATION.json
+# records the experiment).  The separating signal is waveform fidelity —
+# per-frame best-lag normalized correlation.
+#
+# Both distortion classes lose coherence, so the raw correlation alone does
+# not separate them; what separates them is coherence loss NOT explained by
+# the spectral disturbance.  Additive/quantization noise loses coherence in
+# proportion to the energy it adds — measured per carrier across the whole
+# degradation matrix (AWGN ladder, lowpass shelves, uniform quantization,
+# clipping, MNRU, G.711, G.726 at every rate), coherence loss stays below
+# the superlinear allowance 0.02*drop + 0.07*drop^2 + 0.01 where
+# drop = 4.5 - spectral raw (worst measured case: 3-bit quantization at
+# drop 2.3 needs ratio 0.115; vocoded pairs sit at drop 0.4-0.6 where the
+# allowance is ~0.03).  Vocoded speech breaks the relation by 3-8x: big
+# waveform residual, small spectral residual.  The term below
+# penalizes only that EXCESS, saturated (tanh) so it acts as a fitted
+# regime correction that preserves within-family ranking; gains are fitted
+# on the published corpus averages (tools/pesq_calibrate.py, artifact in
+# docs/PESQ_CALIBRATION.json).  Consequence: every waveform-preserving
+# condition scores exactly as the literal stage-4 model (the recorded
+# conformance suite is unchanged), and vocoded pairs drop to the published
+# ITU operating range.  This is a documented DEVIATION from the standard's
+# literal structure, required for absolute-scale comparability with ITU
+# PESQ on vocoded speech.
+
+_COH_A = 0.02         # linear allowance per unit spectral raw drop
+_COH_B = 0.07         # quadratic allowance per unit spectral raw drop
+_COH_FLOOR = 0.01     # measurement noise floor on the excess
+_COH_TAU = 0.04       # saturation scale of the excess (vocoded pairs sit >=2 tau)
+_COH_GAIN = {True: 1.45, False: 0.52}  # fitted regime correction (wb/nb)
+
+
+def _coherence_loss(ref: np.ndarray, deg: np.ndarray, fs: int,
+                    max_lag_ms: float = 4.0) -> float:
+    """Energy-weighted mean of (1 - best-lag frame correlation).
+
+    32 ms frames at 50% overlap on the aligned, input-filtered signals; each
+    frame's correlation is maximized over +-max_lag_ms to stay robust to
+    residual micro-delay and clock drift.
+    """
+    m = _model(fs)
+    L = int(max_lag_ms * fs / 1000.0)
+    n = min(len(ref), len(deg))
+    n_frames = (n - m.frame - 2 * L) // m.hop + 1
+    if n_frames <= 0:
+        return 0.0
+    starts = L + np.arange(n_frames) * m.hop
+    idx = starts[:, None] + np.arange(m.frame)[None, :]
+    r = ref[idx]                                    # (F, frame)
+    r_energy = np.einsum("ij,ij->i", r, r)
+    active = r_energy > 1e4 * m.frame / 512.0       # scale-matched activity gate
+    if not active.any():
+        return 0.0
+    best = np.full(n_frames, -1.0)
+    for lag in range(-L, L + 1, max(1, L // 16)):
+        d = deg[idx + lag]
+        num = np.einsum("ij,ij->i", r, d)
+        den = np.sqrt(r_energy * np.einsum("ij,ij->i", d, d)) + 1e-30
+        best = np.maximum(best, num / den)
+    w = r_energy[active] ** 0.3
+    return float(np.sum((1.0 - best[active]) * w) / np.sum(w))
+
+
+# ---------------------------------------------------------------------------
 # stage 4: perceptual model
 # ---------------------------------------------------------------------------
 
@@ -208,8 +282,12 @@ def _loudness(bands: np.ndarray, m: _BarkModel) -> np.ndarray:
 
 
 def pesq_raw(reference: np.ndarray, degraded: np.ndarray, fs: int,
-             wb: bool = True) -> float:
-    """Raw PESQ score (pre-MOS-mapping), P.862 structure."""
+             wb: bool = True, _components: bool = False):
+    """Raw PESQ score (pre-MOS-mapping), P.862 structure.
+
+    ``_components=True`` additionally returns the (d_sym, d_asym)
+    aggregates — diagnostic hook for the calibration tooling.
+    """
     ref = np.asarray(reference, np.float64).reshape(-1)
     deg = np.asarray(degraded, np.float64).reshape(-1)
     n = min(len(ref), len(deg))
@@ -228,6 +306,8 @@ def pesq_raw(reference: np.ndarray, degraded: np.ndarray, fs: int,
         ref = ref[-delay:]
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
+
+    coh_loss = _coherence_loss(ref, deg, fs)
 
     m = _model(fs)
     rb = _bark_frames(ref, m)
@@ -300,19 +380,38 @@ def pesq_raw(reference: np.ndarray, degraded: np.ndarray, fs: int,
 
     d_sym = _two_stage(d_frame)
     d_asym = _two_stage(da_frame)
-    return 4.5 - 0.1 * d_sym - 0.0309 * d_asym
+    spectral_drop = 0.1 * d_sym + 0.0309 * d_asym
+    allowance = _COH_A * spectral_drop + _COH_B * spectral_drop ** 2 + _COH_FLOOR
+    excess = max(0.0, coh_loss - allowance)
+    raw = (4.5 - spectral_drop
+           - _COH_GAIN[wb] * float(np.tanh(excess / _COH_TAU)))
+    if _components:
+        return raw, d_sym, d_asym, coh_loss
+    return raw
 
 
-# Monotone raw-score calibration: anchors fitted so the synthetic
+# Monotone raw-score calibration.  WB: anchors fitted so the synthetic
 # speech+AWGN characteristic (tests/test_pesq.py) tracks the published ITU
-# PESQ curves (identity at the clean ceiling; linear extrapolation below).
-# obs -> target pairs computed from the anchor experiment recorded in the
-# test file; NB was nearly on-curve already, WB needed the larger correction.
+# PESQ curves (identity at the clean ceiling; linear extrapolation below);
+# vocoded-regime comparability comes from the coherence term above, which
+# leaves these AWGN anchors untouched.  NB: refit by tools/pesq_calibrate.py
+# --fit-nb — weighted monotone PAVA over (a) the AWGN ladder on the real
+# demo carriers pinned to the round-3 ITU-tracked outputs (weight 1.0,
+# recorded ITU tolerance 0.35) and (b) the G.711/G.726 fixture-codec
+# anchors at their literature mid-ranges (weight 0.5).  The refit halves
+# the G.726 ladder over-read while keeping every AWGN point within its
+# ITU tolerance; pre/post deltas recorded in docs/PESQ_CALIBRATION.json.
 _RAW_CAL = {
     True:  ([1.0, 1.9563, 2.0829, 2.2666, 2.4734, 2.6176, 3.3587, 4.5],
             [0.2, 1.1910, 1.6633, 1.9937, 2.6503, 3.1709, 3.7022, 4.5]),
-    False: ([1.0, 2.2373, 2.3487, 2.5214, 2.8679, 3.2199, 3.7532, 4.5],
-            [0.1, 1.3094, 1.8180, 2.1920, 2.7775, 3.2535, 3.7681, 4.5]),
+    False: ([1.0, 2.4028, 2.4565, 2.5745, 2.6762, 2.7479, 2.8364, 2.9246,
+             2.9922, 3.0615, 3.1489, 3.2501, 3.4089, 3.5042, 3.5805, 3.6498,
+             3.7553, 3.85, 3.9422, 4.0033, 4.0567, 4.1238, 4.2038, 4.2619,
+             4.3179, 4.3785, 4.5],
+            [0.1, 1.9641, 2.0515, 2.3113, 2.4536, 2.6101, 2.7243, 2.8745,
+             2.9456, 3.0394, 3.17, 3.2999, 3.3436, 3.3436, 3.3678, 3.3678,
+             3.5899, 3.5899, 3.7757, 3.7757, 3.7978, 3.9342, 4.0484, 4.0484,
+             4.0484, 4.0921, 4.5]),
 }
 
 

@@ -69,6 +69,12 @@ def quality_report(input_dir: str, output_dir: str, limit=None) -> dict:
     out = {k: round(v, 4) for k, v in evaluator.average_metrics(rows).items()}
     out["num_pairs"] = len(rows)
     out["pesq_impl"] = "itu-wrapper" if M.have_pesq() else "native-p862"
+    if out["pesq_impl"] == "native-p862":
+        # absolute-scale provenance for comparisons against BASELINE.md
+        out["pesq_scale_anchor"] = (
+            "anchored via in-repo G.711/G.726 fixtures + published corpus "
+            "averages (docs/PESQ_CALIBRATION.json); |delta| <= 0.1 at toll "
+            "quality, <= 0.35 at low-rate ADPCM")
     return out
 
 
