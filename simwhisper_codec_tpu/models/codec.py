@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -181,7 +182,12 @@ def fast_mode_settings(backend: str = None) -> dict:
         # path (interpret-mode Pallas would crawl).
         "attn_impl": "pflash:768" if fused else "chunked:1536:bf16",
         "fused_ffn": fused,
-        "fused_vocos": fused,
+        # SIMWHISPER_FUSED_VOCOS=dw folds the dwconv k7 + edge mask into the
+        # ConvNeXt kernel (single HBM read per block; ops/fused_convnext.py
+        # fused_convnext_block_dw) — the A/B knob for TPU_NOTES "MFU lever
+        # accounting" candidate 1
+        "fused_vocos": (os.environ.get("SIMWHISPER_FUSED_VOCOS") or True)
+        if fused else False,
         # int8 serving (mode="fast-int8", ops/quant.py + fused kernel):
         # fused Pallas int8 FFN/ConvNeXt where Mosaic is available, the XLA
         # dynamic-int8 path on CPU (interpret-mode kernels would be slow)

@@ -50,14 +50,27 @@ def convnext_block(
     mask: Optional[jnp.ndarray],
     precision=jax.lax.Precision.HIGHEST,
     fused: bool = False,
+    frame_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """ConvNeXt block (modules.py:1229-1248).
 
     ``fused=True`` runs the LN->pw1->GELU->pw2->scale->residual chain as one
     Pallas kernel (ops/fused_convnext.py) — ~35% faster on TPU, tanh-GELU
     (serving path; parity mode keeps the exact-GELU XLA chain).
+    ``fused="dw"`` additionally folds the depthwise k7 conv + edge mask into
+    the same kernel via halo DMA: the activation is read from HBM once per
+    block instead of four times (``frame_valid`` carries the mask bound).
     """
     residual = x
+    if fused == "dw":
+        from simwhisper_codec_tpu.ops.fused_convnext import (
+            fused_convnext_block_dw,
+            pick_block_t,
+        )
+
+        if pick_block_t(x.shape[1]):
+            return fused_convnext_block_dw(x, p, frame_valid=frame_valid)
+        fused = True  # geometry fallback: two-step fused path
     if mask is not None:
         x = x * mask
     # depthwise k7 as 7 shift-FMAs (w stored (7, 1, C) -> (7, C))
@@ -116,7 +129,8 @@ def vocos_forward(
     x = layer_norm(p["norm"], x, eps=1e-6)
 
     def body(carry, bp):
-        return convnext_block(bp, carry, mask, precision, fused=fused), None
+        return convnext_block(bp, carry, mask, precision, fused=fused,
+                              frame_valid=frame_valid), None
 
     x, _ = jax.lax.scan(body, x, p["blocks"])
     x = layer_norm(p["final_ln"], x, eps=1e-6)

@@ -106,3 +106,52 @@ def test_fused_int8_matches_unfused_composition():
     want = xf + gamma * y
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def dw_params(rng, c, inter):
+    p = make_params(rng, c, inter)
+    p["dwconv"] = {
+        "w": jnp.asarray(rng.standard_normal((7, 1, c)) * 0.2, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(c) * 0.05, jnp.float32),
+    }
+    return p
+
+
+def test_fused_dw_block_matches_unfused_block():
+    """fused="dw" (halo-DMA dwconv+LN+FFN kernel) vs the unfused XLA block,
+    with and without the frame_valid edge mask, across block boundaries."""
+    from simwhisper_codec_tpu.models.vocos import _edge_mask, convnext_block
+
+    rng = np.random.default_rng(2)
+    b, t, c, inter = 2, 192, 64, 128  # pick_block_t -> 96: 2 blocks + halos
+    p = dw_params(rng, c, inter)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    for fv in (None, 150):  # mask bound NOT on a block boundary
+        mask = _edge_mask(t, fv, x.dtype)
+        ref = convnext_block(p, x, mask, fused=False)
+        # the kernel's only intended deviation is tanh-GELU; rebuild the
+        # reference with it for a tight bound
+        got = convnext_block(p, x, mask, fused="dw",
+                             frame_valid=None if fv is None else jnp.int32(fv))
+        # tanh-GELU vs exact GELU dominates the diff; bound accordingly
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-3, rtol=0)
+        # tight check vs a tanh-GELU XLA composition
+        from simwhisper_codec_tpu.ops.conv import depthwise_conv1d_shifts
+
+        xm = x if mask is None else x * mask
+        xdw = depthwise_conv1d_shifts(xm, p["dwconv"]["w"][:, 0, :],
+                                      p["dwconv"]["b"], padding=3)
+        want = reference_chain(p, xdw.reshape(b * t, c),
+                               x.reshape(b * t, c)).reshape(b, t, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_dw_geometry_fallback():
+    """T with no usable block divisor falls back to the two-step fused path."""
+    from simwhisper_codec_tpu.ops.fused_convnext import pick_block_t
+
+    assert pick_block_t(3000) == 250
+    assert pick_block_t(192, target=256, lo=64) == 96
+    assert pick_block_t(127) is None  # prime, too small for any divisor >= 64
