@@ -66,6 +66,13 @@ def main(argv=None) -> None:
     p.add_argument("--init_checkpoint", default=None, help="torch .pt to start from")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="reduced-width production-shaped config (quality-curve runs)")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="score a held-out set (native STOI/SI-SNR/PESQ) every N steps "
+                        "into quality_log.jsonl")
+    p.add_argument("--eval_folder", default=None,
+                   help="held-out wavs for --eval_every (synthetic voices without it)")
     p.add_argument("--device", default=None)
     p.add_argument("--aot_dir", default=None,
                    help="AOT executable cache (skips the ~15 min GAN-step compile)")
@@ -105,6 +112,36 @@ def main(argv=None) -> None:
             args.batch_size = 2
         args.segment_seconds = 0.5
         wavs = [rng.standard_normal(12000).astype(np.float32) * 0.1 for _ in range(4)]
+    elif args.small:
+        from simwhisper_codec_tpu.config import (
+            DecoderConfig,
+            EncoderConfig,
+            SampleStackConfig,
+            VocosConfig,
+        )
+
+        # production-shaped at reduced width: every stage present, ~4M params
+        cfg = CodecConfig(
+            acoustic_encoder=EncoderConfig(
+                d_model=192, encoder_layers=4, encoder_attention_heads=4,
+                encoder_ffn_dim=384,
+            ),
+            acoustic_decoder=DecoderConfig(
+                d_model=192, decoder_layers=4, decoder_attention_heads=4,
+                decoder_ffn_dim=384,
+            ),
+            downsample=SampleStackConfig(in_dim=192, latent_dim=32,
+                                         stack_factor=4, hidden_dim=128),
+            upsample=SampleStackConfig(out_dim=192, latent_dim=32,
+                                       stack_factor=4, hidden_dim=128),
+            vocos=VocosConfig(input_channels=80, dim=192,
+                              intermediate_dim=384, num_layers=4),
+        )
+        if not args.data_folder:
+            p.error("--data_folder required with --small")
+        paths = find_audio_files(args.data_folder)
+        logger.info("loading %d files", len(paths))
+        wavs = [load_audio(path, cfg.input_sample_rate) for path in paths]
     else:
         cfg = CodecConfig()
         if not args.data_folder:
@@ -178,6 +215,14 @@ def main(argv=None) -> None:
     seg_mel_consts = _seg_mel(cfg, segment_samples)
     seg_log_mel = jax.jit(lambda w: mel_ops.log_mel(seg_mel_consts, w))
 
+    quality_eval = None
+    if args.eval_every:
+        quality_eval = _make_quality_eval(
+            cfg, consts, seg_log_mel, segment_samples, mel_frames,
+            args.eval_folder, out, args.seed)
+        if int(state.step) == 0:
+            quality_eval(state.params, 0)  # the random-init baseline row
+
     log_path = out / "train_log.jsonl"
     t0 = time.time()
     start_step = int(state.step) + 1
@@ -204,11 +249,78 @@ def main(argv=None) -> None:
             logger.info("%s", json.dumps(rec))
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if quality_eval and (step % args.eval_every == 0 or step == args.steps):
+            quality_eval(state.params, step)
         if step % args.checkpoint_every == 0 or step == args.steps:
             # full state (params + both optimizers + step counter) for exact resume
             save_orbax(str(out / f"ckpt_{step:07d}"), state._asdict())
 
     logger.info("done after %d steps", args.steps)
+
+
+def synthetic_voice(seed: int, seconds: float, sr: int) -> np.ndarray:
+    """Formant-modulated harmonic voice (held-out eval carriers)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = rng.uniform(90, 220) * (1.0 + 0.06 * np.sin(2 * np.pi * rng.uniform(1.5, 3.0) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    x = sum(np.sin(h * phase + rng.uniform(0, 6)) / h ** rng.uniform(0.5, 0.9)
+            for h in range(1, 24))
+    x *= 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(2.5, 4.0) * t + rng.uniform(0, 6))
+    x *= np.clip(np.sin(2 * np.pi * rng.uniform(1.2, 2.2) * t) * 4.0, 0.0, 1.0)
+    x = x + 0.005 * rng.standard_normal(len(t))
+    return (0.2 * x / np.max(np.abs(x))).astype(np.float32)
+
+
+def _make_quality_eval(cfg, consts, seg_log_mel, segment_samples: int,
+                       mel_frames: int, eval_folder, out: Path, seed: int):
+    """Held-out quality probe: reconstruct a fixed eval batch through the
+    CURRENT generator params and score native STOI/SI-SNR/PESQ-WB, appending
+    one row per call to quality_log.jsonl (the trainer-learns evidence the
+    loss curve alone cannot give)."""
+    from simwhisper_codec_tpu.eval import metrics as M
+    from simwhisper_codec_tpu.models.codec import training_forward
+
+    if eval_folder:
+        paths = find_audio_files(eval_folder)
+        raw = [load_audio(path, cfg.input_sample_rate) for path in paths]
+    else:  # unseen-seed synthetic voices (disjoint from any training seed)
+        raw = [synthetic_voice(10_000 + i, segment_samples / cfg.input_sample_rate,
+                               cfg.input_sample_rate) for i in range(8)]
+    batch = np.zeros((len(raw), segment_samples), np.float32)
+    for i, w in enumerate(raw):  # deterministic center crop / zero pad
+        if len(w) >= segment_samples:
+            s = (len(w) - segment_samples) // 2
+            batch[i] = w[s:s + segment_samples]
+        else:
+            batch[i, :len(w)] = w
+    mel = jnp.asarray(np.asarray(seg_log_mel(jnp.asarray(batch))), jnp.float32)
+    lens = jnp.full((len(raw),), mel_frames, jnp.int32)
+    fwd = jax.jit(lambda params, m, l: training_forward(
+        cfg, consts, params, m, l)["reconstructed_audio"])
+    log_path = out / "quality_log.jsonl"
+
+    def run(params, step: int) -> dict:
+        y = np.asarray(fwd(params, mel, lens))[:, :segment_samples]
+        rows = []
+        for ref, deg in zip(batch, y):
+            rows.append({
+                "stoi": M.stoi(ref, deg, cfg.input_sample_rate),
+                "si_snr": M.si_snr(ref, deg),
+                "pesq_wb": M.pesq_score(ref.astype(np.float64),
+                                        deg.astype(np.float64),
+                                        cfg.input_sample_rate, "wb"),
+            })
+        rec = {"step": step, "n_eval": len(rows)}
+        for k in ("stoi", "si_snr", "pesq_wb"):
+            vals = [r[k] for r in rows if r[k] is not None and np.isfinite(r[k])]
+            rec[k] = round(float(np.mean(vals)), 4) if vals else None
+        logger.info("quality %s", json.dumps(rec))
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    return run
 
 
 def _seg_mel(cfg: CodecConfig, segment_samples: int):

@@ -30,40 +30,11 @@ HAS_REFERENCE = REFERENCE_ROOT.exists()
 
 
 def add_reference_to_path():
-    """Make the read-only upstream reference importable as a test oracle."""
-    if not HAS_REFERENCE:
-        return
-    if str(REFERENCE_ROOT) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_ROOT))
-    # The reference imports torchaudio at module scope for two mel helpers it
-    # never uses in the production classes; shim it if absent.
-    try:
-        import torchaudio  # noqa: F401
-    except ImportError:
-        import math
-        import types
+    """Make the read-only upstream reference importable as a test oracle
+    (shim shared with tools/release_check.py)."""
+    from simwhisper_codec_tpu.utils.oracle import add_reference_to_path as _add
 
-        ta = types.ModuleType("torchaudio")
-        functional = types.ModuleType("torchaudio.functional")
-        inner = types.ModuleType("torchaudio.functional.functional")
-
-        def _hz_to_mel(freq, mel_scale="htk"):
-            return 2595.0 * math.log10(1.0 + freq / 700.0)
-
-        def _mel_to_hz(mels, mel_scale="htk"):
-            return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
-
-        import importlib.machinery
-
-        for mod in (ta, functional, inner):
-            mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, loader=None)
-        inner._hz_to_mel = _hz_to_mel
-        inner._mel_to_hz = _mel_to_hz
-        functional.functional = inner
-        ta.functional = functional
-        sys.modules["torchaudio"] = ta
-        sys.modules["torchaudio.functional"] = functional
-        sys.modules["torchaudio.functional.functional"] = inner
+    _add(REFERENCE_ROOT)
 
 
 def pytest_configure(config):
